@@ -1,0 +1,260 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §F1).
+
+The north-rule input is an Iceberg table of multi-turn transcripts
+``(conv_id, turn_idx, role, text, tool, ts)``.  The driver's testdata dirs
+only ship TPC-H-ish tables, so each scale factor gets a transcript table
+synthesized HERE, deterministically (seed 42, pure stdlib ``random``), and
+cached as parquet under ``/root/repo/data/transcripts/<sf-tag>/``.  Both the
+Spark pipeline and the DuckDB oracle SQL read the *same* parquet file, so
+correctness comparisons are exact.
+
+Content model mirrors the reference's web-table corpus (entity-label key
+column + typed attribute columns, SURVEY.md §1; ``model/Table.java:20-34``):
+
+* 3 entity classes (city / person / company) × 50 canonical names.
+* Each entity has surface-form VARIANTS — case change, token reorder,
+  appended parenthetical — exercising the normalizer
+  (``schemamatching/label/StringNormalizer.java:39-141``).  ~10% of surfaces
+  get noise (trailing ``&nbsp;`` / bracketed aside) exercising
+  ``IO/ConvertFileToTable.simpleStringNormalization:1327-1353``.
+* Facts cover every reference dtype that survives in free text
+  (``TableProcessor/ColumnTypeGuesser.java:41-97``): numeric (with commas),
+  unit (``500 km2``), date (3 formats, ``parsers/DateUtil.java:179-217``),
+  bool, link, coordinate, plain string, list literal ``{a|b}``
+  (``IO/ConvertFileToTable.java:1022-1026``).
+* ~15% of fact assertions use a conflicting alternate value (voting /
+  median resolution parity, ``datafusion/DuplicateResolver.java:294-354``);
+  two predicate synonym pairs (``population``/``pop``,
+  ``headquarters``/``hq``) exercise schema consolidation
+  (``schemamatching/instance/InstanceBasedColumnComparer.java:76-206``).
+* Skew: one hot entity per class appears in ~20% of conversations; the
+  first conversation is extra long — exercises salting paths.
+
+Turn grammar (THE extraction contract — see operators/extract.py):
+
+* user      : ``Tell me about {S}.`` or ``What do you know about {S}?``
+* assistant : ``The {pred} of {S} is {value}.``  (exactly one fact)
+* tool      : ``entity={S}; {p1}={v1}; {p2}={v2}``  (tool col = tool name)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+DATAGEN_VERSION = 2  # bump when the grammar changes → regenerates caches
+REPO_DATA = os.environ.get("SJSPARK_DATA_DIR", "/root/repo/data/transcripts")
+EPOCH = datetime(2026, 1, 1, 0, 0, 0)
+TICK_SECONDS = 37
+
+CITY_PRE = ["North", "South", "East", "West", "Port", "Lake", "Fort", "New", "Old", "Mount"]
+CITY_SUF = ["Aldenburg", "Brightwater", "Carveth", "Dunmore", "Eastvale"]
+PERSON_FIRST = ["Alice", "Boris", "Carla", "Dmitri", "Elena", "Farid", "Greta", "Hiro", "Ines", "Jonas"]
+PERSON_LAST = ["Keller", "Lindqvist", "Moreau", "Novak", "Okafor"]
+COMPANY_BASE = ["Acme", "Globex", "Initech", "Umbra", "Vertex", "Zenith", "Quantum", "Helios", "Nimbus", "Orchid"]
+COMPANY_SUF = ["Corp", "Labs", "Industries", "Group", "Systems"]
+
+MOTTO_WORDS = ["forward", "unity", "strength", "harbor", "light", "progress", "honor", "trade"]
+SKILL_WORDS = ["piloting", "analysis", "rhetoric", "carving", "logistics", "cartography"]
+DISTRICT_WORDS = ["harborside", "oldtown", "midrise", "gardens", "foundry", "heights"]
+TOOLS = ["search", "lookup", "calc"]
+
+DATE_FORMATS = ["%m/%d/%Y", "%Y-%m-%d", "%d.%m.%Y"]
+
+
+def _entity_catalog():
+    """Build the deterministic entity catalog: 150 entities with facts.
+
+    Returns list of dicts: {name, cls, surfaces, facts: [(pred, value, alt)]}.
+    Uses its own RNG stream so the catalog is identical at every scale.
+    """
+    rng = random.Random(SEED)
+    cities = [f"{p} {s}" for p in CITY_PRE for s in CITY_SUF]
+    persons = [f"{f} {l}" for f in PERSON_FIRST for l in PERSON_LAST]
+    companies = [f"{b} {s}" for b in COMPANY_BASE for s in COMPANY_SUF]
+    catalog = []
+    for cls, names in (("city", cities), ("person", persons), ("company", companies)):
+        for name in names:
+            toks = name.split(" ")
+            surfaces = [
+                name,
+                name.upper(),
+                name.lower(),
+                " ".join(reversed(toks)),
+                f"{name} ({cls})",
+            ]
+            slug = name.lower().replace(" ", "")
+            facts = []
+            if cls == "city":
+                pop = rng.randint(10_000, 9_999_999)
+                facts.append(("population", f"{pop:,}", f"{pop + rng.randint(1, 999):,}"))
+                area = rng.randint(20, 9000)
+                facts.append(("area", f"{area} km2", f"{area + rng.randint(1, 50)} km2"))
+                d = datetime(rng.randint(1100, 1990), rng.randint(1, 12), rng.randint(1, 28))
+                fmt = rng.choice(DATE_FORMATS)
+                facts.append(("founded", d.strftime(fmt), d.replace(year=d.year + 1).strftime(fmt)))
+                facts.append(("capital", rng.choice(["true", "false"]), "false"))
+                lat, lon = rng.uniform(-60, 60), rng.uniform(-150, 150)
+                facts.append(("location", f"{lat:.4f}, {lon:.4f}", f"{lat + 0.5:.4f}, {lon:.4f}"))
+                facts.append(("motto", " ".join(rng.sample(MOTTO_WORDS, 2)), rng.choice(MOTTO_WORDS)))
+                facts.append(("districts", "{%s}" % "|".join(rng.sample(DISTRICT_WORDS, 3)), "{%s}" % "|".join(rng.sample(DISTRICT_WORDS, 2))))
+            elif cls == "person":
+                age = rng.randint(18, 90)
+                facts.append(("age", str(age), str(age + 1)))
+                h = rng.randint(150, 200)
+                facts.append(("height", f"{h} cm", f"{h + 2} cm"))
+                d = datetime(rng.randint(1930, 2005), rng.randint(1, 12), rng.randint(1, 28))
+                fmt = rng.choice(DATE_FORMATS)
+                facts.append(("born", d.strftime(fmt), d.replace(year=d.year - 1).strftime(fmt)))
+                facts.append(("active", rng.choice(["true", "false"]), "true"))
+                facts.append(("birthplace", rng.choice(cities), rng.choice(cities)))
+                facts.append(("skills", "{%s}" % "|".join(rng.sample(SKILL_WORDS, 2)), "{%s}" % "|".join(rng.sample(SKILL_WORDS, 3))))
+            else:
+                emp = rng.randint(50, 500_000)
+                facts.append(("employees", f"{emp:,}", f"{emp + rng.randint(1, 99):,}"))
+                rev = rng.randint(1, 900)
+                facts.append(("revenue", f"{rev} MUSD", f"{rev + 5} MUSD"))
+                d = datetime(rng.randint(1900, 2020), rng.randint(1, 12), rng.randint(1, 28))
+                fmt = rng.choice(DATE_FORMATS)
+                facts.append(("founded", d.strftime(fmt), d.replace(year=d.year + 2).strftime(fmt)))
+                facts.append(("public", rng.choice(["true", "false"]), "false"))
+                facts.append(("headquarters", rng.choice(cities), rng.choice(cities)))
+                facts.append(("website", f"http://{slug}.example.com", f"http://www.{slug}.example.com"))
+            catalog.append({"name": name, "cls": cls, "surfaces": surfaces, "facts": facts})
+    return catalog
+
+
+# predicate synonym emission: canonical pred -> (synonym, probability)
+SYNONYMS = {"population": ("pop", 0.25), "headquarters": ("hq", 0.25)}
+
+
+def sf_tag_of_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.001"
+
+
+def turns_for_tag(tag: str) -> int:
+    try:
+        sf = float(tag[2:])
+    except ValueError:
+        sf = 0.001
+    return max(500, int(sf * 1_000_000))
+
+
+def generate_transcripts(n_turns: int) -> pa.Table:
+    """Generate >= n_turns turns; deterministic for a given n_turns target."""
+    catalog = _entity_catalog()
+    rng = random.Random(SEED + 1)
+    by_cls: dict[str, list] = {}
+    for e in catalog:
+        by_cls.setdefault(e["cls"], []).append(e)
+    hot = {cls: ents[0] for cls, ents in by_cls.items()}
+
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    total = 0
+    conv_no = 0
+
+    def pick_surface(ent, allow_entity_noise=True):
+        # In tool turns the payload is split on '; ' — a trailing '&nbsp;'
+        # would donate its ';' to the delimiter, so tool surfaces only get
+        # bracket noise. Same RNG draws either way (determinism).
+        s = rng.choice(ent["surfaces"])
+        r = rng.random()
+        if r < 0.05:
+            s = s + ("&nbsp;" if allow_entity_noise else " [sic]")
+        elif r < 0.10:
+            s = s + " [sic]"
+        return s
+
+    while total < n_turns:
+        conv_id = f"conv-{conv_no:06d}"
+        if conv_no == 0:
+            length = min(5000, max(60, n_turns // 20))
+        else:
+            length = rng.randint(6, 40)
+        ents = []
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.20:
+                ents.append(hot[rng.choice(["city", "person", "company"])])
+            else:
+                ents.append(rng.choice(catalog))
+        for ti in range(length):
+            ent = ents[rng.randrange(len(ents))]
+            if ti == 0:
+                role = "user"
+            else:
+                r = rng.random()
+                role = "user" if r < 0.25 else ("assistant" if r < 0.80 else "tool")
+            tool = None
+            if role == "user":
+                s = pick_surface(ent)
+                text = rng.choice([f"Tell me about {s}.", f"What do you know about {s}?"])
+            elif role == "assistant":
+                pred, val, alt = rng.choice(ent["facts"])
+                if pred in SYNONYMS and rng.random() < SYNONYMS[pred][1]:
+                    pred = SYNONYMS[pred][0]
+                v = alt if rng.random() < 0.15 else val
+                text = f"The {pred} of {pick_surface(ent)} is {v}."
+            else:
+                tool = rng.choice(TOOLS)
+                pairs = rng.sample(ent["facts"], min(2, len(ent["facts"])))
+                kvs = [f"entity={pick_surface(ent, allow_entity_noise=False)}"]
+                for pred, val, alt in pairs:
+                    if pred in SYNONYMS and rng.random() < SYNONYMS[pred][1]:
+                        pred = SYNONYMS[pred][0]
+                    v = alt if rng.random() < 0.15 else val
+                    kvs.append(f"{pred}={v}")
+                text = "; ".join(kvs)
+            conv_ids.append(conv_id)
+            turn_idxs.append(ti)
+            roles.append(role)
+            texts.append(text)
+            tools.append(tool)
+            tss.append(EPOCH + timedelta(seconds=TICK_SECONDS * total))
+            total += 1
+        conv_no += 1
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+
+
+def transcripts_path(sf_dir: str) -> str:
+    return os.path.join(
+        REPO_DATA, f"v{DATAGEN_VERSION}", sf_tag_of_dir(sf_dir), "transcripts.parquet"
+    )
+
+
+def ensure_transcripts(sf_dir: str) -> str:
+    """Generate-and-cache the transcript parquet for a testdata sf dir.
+
+    Atomic write (tmp + rename) so concurrent callers are safe.
+    Returns the parquet path — readable by both Spark and DuckDB.
+    """
+    path = transcripts_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = generate_transcripts(turns_for_tag(sf_tag_of_dir(sf_dir)))
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return path

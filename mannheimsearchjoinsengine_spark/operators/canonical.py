@@ -1,0 +1,166 @@
+"""Stage 5a — surface-form canonicalization (north-rule stage 4).
+
+The reference consolidates keys through the external FastJoin set-similarity
+join (``utils/FastJoinWrapper.match:137-198``) and merges matched columns;
+our canonicalization is two-tier, per the north rule:
+
+1. EXACT tier — surface variants that normalize to the same key
+   (case change / token reorder / asides / noise) collapse by construction
+   of `norm_key` (functions/normalize.py). This is a groupBy, no join.
+2. FUZZY tier — MinHash-banded candidate pairs (or the token-jaccard join in
+   fuzzy.py at small scale) feed an iterative-join CONNECTED COMPONENTS
+   (large-star/small-star, Kiveris et al. 2014 "Connected Components in
+   MapReduce and Beyond" semantics) to cluster near-duplicate labels that
+   exact normalization cannot unify.
+
+The cluster representative (canonical label) is the lexicographic min of
+member display forms — deterministic, oracle-friendly.
+
+Scale notes: CC converges in O(log n) rounds; each round is two self-joins
+on the edge list. Label cardinality ≪ turn cardinality (labels are entities,
+not occurrences), so even at 10^12 turns the edge list stays modest. MinHash
+banding bounds candidate generation per bucket; both star operations hash on
+node id → AQE handles stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.functions.normalize import norm_tokens
+
+_ENTITY_RE = r"&(nbsp|amp|quot|lt|gt);"
+_ASIDE_RE = r"\([^)]*\)|\[[^\]]*\]"
+
+
+def display_form(col):
+    """Case-preserving cleaned display of a raw surface (entity unescape,
+    strip asides, collapse whitespace) — the triple subject's human form."""
+    c = F.regexp_replace(col, _ENTITY_RE, " ")
+    c = F.regexp_replace(c, _ASIDE_RE, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_clusters(facts: DataFrame) -> DataFrame:
+    """Tier 1: norm_key → canonical display label (lexicographic min over
+    member display forms). Returns (subj_norm, canonical_label, n_surfaces,
+    n_occurrences)."""
+    return facts.groupBy("subj_norm").agg(
+        F.min(display_form(F.col("subj_surface"))).alias("canonical_label"),
+        F.countDistinct("subj_surface").alias("n_surfaces"),
+        F.count("*").alias("n_occurrences"),
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Iterative-join connected components over an undirected edge list
+    (columns ``src``, ``dst``; string node ids). Returns (node, component)
+    with component = min node id of the component.
+
+    Plain alternating min-propagation (each round: component ← min over
+    neighbors' components, both directions). Converges in O(diameter)
+    rounds; every round is one shuffle on node id. GraphFrames-free on
+    purpose (no jar dependency — SURVEY.md §7 step 9).
+    """
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst as src", "src as dst"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    comp = nodes.withColumn("component", F.col("node"))
+    sym = sym.localCheckpoint()  # cut lineage; edge list is reused every round
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym.src == comp.node)
+            .select(F.col("dst").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_comp = (
+            comp.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # convergence check: any node whose component still shrinks?
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp.localCheckpoint()
+        if changed == 0:
+            break
+    return comp
+
+
+def fuzzy_clusters(facts: DataFrame, fuzzy_pairs: DataFrame) -> DataFrame:
+    """Tier 2: merge exact clusters linked by fuzzy pairs. ``fuzzy_pairs``
+    has (left_key, right_key) over norm keys (from fuzzy.fuzzy_self_pairs or
+    the MinHash-LSH path in dedup.py). Returns
+    (subj_norm, cluster_id, canonical_label)."""
+    ex = exact_clusters(facts)
+    edges = fuzzy_pairs.select(
+        F.col("left_key").alias("src"), F.col("right_key").alias("dst")
+    )
+    comp = connected_components(edges)
+    with_comp = ex.join(
+        comp.withColumnRenamed("node", "subj_norm"), "subj_norm", "left"
+    ).withColumn("cluster_id", F.coalesce("component", "subj_norm"))
+    label = with_comp.groupBy("cluster_id").agg(
+        F.min("canonical_label").alias("cluster_label")
+    )
+    return (
+        with_comp.join(label, "cluster_id")
+        .select("subj_norm", "cluster_id", F.col("cluster_label").alias("canonical_label"))
+    )
+
+
+def minhash_signatures(labels: DataFrame, col: str = "subj_norm", n_hashes: int = 8) -> DataFrame:
+    """MinHash signatures over label token sets using md5-derived hashes —
+    deterministic and reproducible in any engine (same md5 → same minhash).
+    Returns (label, sig_0..sig_{n-1}) as 16-hex-char strings (lexicographic
+    min == numeric min for fixed-width lowercase hex)."""
+    toks = labels.select(
+        F.col(col).alias("label"), F.explode(norm_tokens(F.col(col))).alias("token")
+    )
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 16)).alias(
+            f"sig_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("label").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    labels: DataFrame, col: str = "subj_norm", n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: labels sharing one band of the signature become candidate
+    pairs (left < right). Verify with exact jaccard downstream (fuzzy.py)."""
+    sig = minhash_signatures(labels, col, n_hashes)
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "label",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.union(b)
+    l = allb.select("band", "bucket", F.col("label").alias("left_key"))
+    r = allb.select("band", "bucket", F.col("label").alias("right_key"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("left_key") < F.col("right_key"))
+        .select("left_key", "right_key")
+        .distinct()
+    )

@@ -1,0 +1,109 @@
+"""Stage 3 — the search join (reference J1-J5, W1, T2/T3).
+
+The reference probes a Lucene index once per key value with an OR-of-tokens
+query, groups hits per candidate table, and aggregates ``JoinResult`` stats
+(``index/IndexManager.searchIndex:290-458``,
+``searchjoin/SearchJoin.findJoinsForColumnFast:547-855``,
+``model/JoinResult.java:30-70``). Spark-native, that whole per-value loop is
+ONE distributed plan:
+
+    query tokens ⋈ postings (on token) → groupBy(query, candidate) → score
+    → window top-k
+
+Scoring uses integer matched-token counts plus a full-token-set containment
+check — the reference's "exact-equality post-filter after stopword strip"
+(``IndexManager.java:413-426``) becomes `matched == n_query_tokens`.
+
+Scale design:
+* the query side (distinct mention labels) is orders of magnitude smaller
+  than postings → broadcast it; the probe is then a broadcast hash join with
+  NO shuffle of the posting table.
+* hot tokens were already df-capped at index build; residual skew is handled
+  by AQE skew-join when the query side outgrows broadcast size.
+* top-k is `row_number` per query label — the reference's adaptive-deepening
+  loop (``IndexManager.java:390-406``) is unnecessary because we never
+  truncate before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.functions.normalize import norm_tokens
+
+
+def probe(mentions: DataFrame, postings: DataFrame, top_k: int = 5) -> DataFrame:
+    """J1/J3 — for each distinct query label, top-k candidate labels by
+    matched-token count. Returns
+    (query_norm, cand_norm, matched_tokens, n_query_tokens, is_exact, rank).
+    """
+    q = (
+        mentions.select("subj_norm").distinct()
+        .select(
+            F.col("subj_norm").alias("query_norm"),
+            F.explode(norm_tokens(F.col("subj_norm"))).alias("token"),
+        )
+    )
+    qsize = q.groupBy("query_norm").agg(F.count("*").alias("n_query_tokens"))
+    cand = postings.select("token", F.col("subj_norm").alias("cand_norm")).distinct()
+    hits = (
+        F.broadcast(q)
+        .join(cand, "token")
+        .groupBy("query_norm", "cand_norm")
+        .agg(F.count("*").alias("matched_tokens"))
+        .join(F.broadcast(qsize), "query_norm")
+        .withColumn(
+            "is_exact",
+            (F.col("matched_tokens") == F.col("n_query_tokens"))
+            & (F.col("query_norm") == F.col("cand_norm")),
+        )
+    )
+    w = Window.partitionBy("query_norm").orderBy(
+        F.desc("matched_tokens"), F.asc("cand_norm")
+    )
+    return hits.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def join_results(mentions: DataFrame, facts: DataFrame, top_n: int = 100) -> DataFrame:
+    """J5 — JoinResult aggregation per (query label, candidate conversation):
+    matched-key count, summed multiplicities, joinSize = Σ multL·multR
+    (``SearchJoin.java:762-852``; ``model/JoinResult.java:30-70``), ranked
+    and top-N'd (T2, ``SearchJoin.java:230-241``, conf maxMatchedTables=100).
+
+    Left side = mention labels with their multiplicity; right side = fact
+    labels per conversation. Exact-label equi-join on subj_norm (the
+    reference's post-normalization equality; fuzzy variant in fuzzy.py).
+    The left aggregate is small (distinct labels) → broadcast.
+    """
+    left = mentions.groupBy("subj_norm").agg(F.count("*").alias("mult_l"))
+    right = facts.groupBy("subj_norm", "conv_id").agg(F.count("*").alias("mult_r"))
+    jr = (
+        F.broadcast(left)
+        .join(right, "subj_norm")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("matched_keys"),
+            F.sum("mult_l").alias("sum_mult_l"),
+            F.sum("mult_r").alias("sum_mult_r"),
+            F.sum(F.col("mult_l") * F.col("mult_r")).alias("join_size"),
+        )
+    )
+    w = Window.orderBy(F.desc("matched_keys"), F.desc("join_size"), F.asc("conv_id"))
+    return jr.withColumn("total_rank", F.row_number().over(w)).filter(
+        F.col("total_rank") <= top_n
+    )
+
+
+def best_hit_dedup(hits: DataFrame) -> DataFrame:
+    """W1 — best hit per (query label, candidate), ties → shorter candidate
+    then lexicographic (``SearchJoin.java:951-1031``: ties prefer the shorter
+    value)."""
+    w = Window.partitionBy("query_norm").orderBy(
+        F.desc("matched_tokens"), F.length("cand_norm").asc(), F.asc("cand_norm")
+    )
+    return hits.withColumn("best_rank", F.row_number().over(w)).filter(
+        F.col("best_rank") == 1
+    )

@@ -1,0 +1,158 @@
+"""Stage 4b — conflict resolution (reference A4-A6).
+
+Parity target ``datafusion/DuplicateResolver.java:294-467`` with the conf
+dispatch (``searchJoins.conf:91-93``): string→voting, numeric/unit→median,
+date→date-average, everything else (bool/link/list/coordinate)→first value.
+
+Reference quirks replicated on purpose (flagged in SURVEY.md §7):
+
+* voting (``votForFinalValue:371-389``): scans values in row order and only
+  replaces the winner on a STRICTLY greater running count — so the winner is
+  the first value to reach the final maximum count. Spark-native: for values
+  whose total count equals the group max, the max-count-th occurrence is
+  their LAST occurrence, so the winner is argmin(last_occurrence_ts) among
+  max-count values.
+* median (``getMedianValue:391-403``): sorted ascending; even n →
+  ``values[n/2]`` (0-based) = upper middle; odd n → ``values[n/2+1]`` — one
+  PAST the true median (the reference's off-by-one). n=1 would throw in the
+  reference; we emit the single value (resolution is only invoked on
+  duplicates there).
+* date-average (``getAverageSecondsFromDates:405-421``): the loop overwrites
+  instead of accumulating, so the result is epoch_seconds(LAST date) / n —
+  replicated bit-for-bit (truncating division).
+
+Values are numeric-normalized before resolution exactly like the reference
+(``TableDataCleaner.normalizeColumnNumeric:167-180`` runs pre-resolution).
+
+All window functions over (subj, pred) groups — group sizes are bounded by
+assertion counts per entity-fact, no skew concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.functions.typeguess import parse_numeric
+
+DATE_PATTERNS = ["MM/dd/yyyy", "yyyy-MM-dd", "dd.MM.yyyy"]
+
+
+def parse_any_date(col: Column) -> Column:
+    """~50-format cascade of ``parsers/DateUtil.java:179-217`` reduced to the
+    corpus's formats; extendable alternation, native `try_to_date`
+    (ANSI-safe: wrong-format values fall through to the next pattern)."""
+    return F.coalesce(*[F.try_to_date(col, p) for p in DATE_PATTERNS])
+
+
+def resolve_voting(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """A4 — plurality vote; tie → first value to reach the max count."""
+    grp = cells.groupBy(*keys, "obj_raw").agg(
+        F.count("*").alias("cnt"), F.max("ts").alias("last_ts")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("cnt"), F.asc("last_ts"), F.asc("obj_raw")
+    )
+    return (
+        grp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("obj_raw").alias("obj_resolved"), F.col("cnt").alias("votes"))
+    )
+
+
+def resolve_median(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """A5 — the reference's upper-median over numeric-normalized values."""
+    vals = cells.withColumn("num", parse_numeric(F.col("obj_raw"))).filter(
+        F.col("num").isNotNull()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.asc("num"), F.asc("ts"))
+    ranked = vals.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(*keys))
+    )
+    pick = F.when(F.col("n") == 1, 1).when(
+        F.col("n") % 2 == 0, F.col("n") / 2 + 1
+    ).otherwise(F.floor(F.col("n") / 2) + 2)
+    return ranked.filter(F.col("rn") == pick).select(
+        *keys, F.col("num").alias("obj_resolved"), F.col("n").alias("n_values")
+    )
+
+
+def resolve_first(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """default branch — keep the first (row-order) value."""
+    w = Window.partitionBy(*keys).orderBy(F.asc("ts"), F.asc("obj_raw"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("obj_raw").alias("obj_resolved"))
+    )
+
+
+def resolve_longest(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """A6 longest-string mode (``getLargestValue:446-457``; first value with
+    the max length wins)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(F.length("obj_raw")), F.asc("ts"), F.asc("obj_raw")
+    )
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("obj_raw").alias("obj_resolved"))
+    )
+
+
+def resolve_average(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """A6 average mode (``getAverageFromList:423-430``)."""
+    vals = cells.withColumn("num", parse_numeric(F.col("obj_raw"))).filter(
+        F.col("num").isNotNull()
+    )
+    return vals.groupBy(*keys).agg(F.round(F.avg("num"), 4).alias("obj_resolved"))
+
+
+def resolve_date_average(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """A6 date-average replicating the last-date-only bug: result =
+    trunc(epoch_seconds(last date) / n)."""
+    vals = cells.withColumn("d", parse_any_date(F.col("obj_raw"))).filter(
+        F.col("d").isNotNull()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("ts"))
+    last = vals.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(*keys))
+    ).filter(F.col("rn") == 1)
+    epoch = F.unix_timestamp(F.col("d").cast("timestamp"))
+    return last.select(
+        *keys,
+        (epoch / F.col("n")).cast("long").alias("avg_epoch_s"),
+        F.col("n").alias("n_values"),
+    )
+
+
+def resolve_dispatch(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """Full dispatch over the group's majority dtype:
+    string→voting, numeric/unit→median, date→date-average-bug,
+    else→first. Output obj_resolved is always a string (the reference's
+    all-strings model)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc("dn"), F.asc("dtype"))
+    major = (
+        cells.groupBy(*keys, "dtype")
+        .agg(F.count("*").alias("dn"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("dtype").alias("dtype_major"))
+    )
+    c = cells.join(major, list(keys))
+    voting = resolve_voting(c.filter(F.col("dtype_major") == "string"), keys).select(
+        *keys, "obj_resolved"
+    )
+    med = resolve_median(
+        c.filter(F.col("dtype_major").isin("numeric", "unit")).withColumn(
+            "obj_raw", F.regexp_extract("obj_raw", r"^(-?[0-9][0-9,]*(\.[0-9]+)?)", 1)
+        ),
+        keys,
+    ).select(*keys, F.col("obj_resolved").cast("string").alias("obj_resolved"))
+    dates = resolve_date_average(c.filter(F.col("dtype_major") == "date"), keys).select(
+        *keys, F.col("avg_epoch_s").cast("string").alias("obj_resolved")
+    )
+    rest = resolve_first(
+        c.filter(~F.col("dtype_major").isin("string", "numeric", "unit", "date")), keys
+    ).select(*keys, "obj_resolved")
+    return voting.unionByName(med).unionByName(dates).unionByName(rest)

@@ -1,0 +1,95 @@
+"""The full KG-construction pipeline (north-rule stages 1-5).
+
+transcripts → extract (facts/mentions) → typed cells → index (postings /
+attributes) → search-join (join results) → predicate consolidation →
+conflict resolution → canonicalization → triples.
+
+Mirrors the reference's five-stage lifecycle (SURVEY.md §3.2) as ONE
+declarative DAG with optional stage checkpoints (sources/catalog.py) —
+resumable at every boundary, per-partition lineage recorded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.operators.canonical import exact_clusters
+from mannheimsearchjoinsengine_spark.operators.extract import extract_facts, extract_mentions
+from mannheimsearchjoinsengine_spark.operators.index import build_attributes, build_postings
+from mannheimsearchjoinsengine_spark.operators.match import pred_merge_map
+from mannheimsearchjoinsengine_spark.operators.probe import join_results
+from mannheimsearchjoinsengine_spark.operators.profile import pred_profile, typed_cells
+from mannheimsearchjoinsengine_spark.operators.resolve import resolve_dispatch
+from mannheimsearchjoinsengine_spark.operators.triplify import to_triples
+from mannheimsearchjoinsengine_spark.sources.catalog import StageLedger
+from mannheimsearchjoinsengine_spark.sources.transcripts import load_transcripts
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_root: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run all stages; returns every intermediate plus the triple table.
+
+    With ``checkpoint_root`` set, each stage materializes through the ledger
+    (kill + re-run resumes from the last completed stage)."""
+    transcripts = load_transcripts(spark, sf_dir)
+    fingerprint = f"{sf_dir}:{transcripts.count()}"
+
+    ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
+
+    def stage(name: str, build, partition_by=None) -> DataFrame:
+        if ledger is None:
+            # Cut lineage at every stage boundary: downstream stages fan the
+            # upstream subtree into several branches (resolve dispatch alone
+            # embeds it 4×), and an uncut plan tree grows exponentially.
+            return build().localCheckpoint()
+        return ledger.materialize(name, fingerprint, build, partition_by)
+
+    facts = stage("facts", lambda: extract_facts(transcripts))
+    mentions = stage("mentions", lambda: extract_mentions(transcripts))
+    cells = stage("cells", lambda: typed_cells(facts))
+    postings = stage("postings", lambda: build_postings(facts))
+    attributes = stage("attributes", lambda: build_attributes(cells))
+    jr = stage("join_results", lambda: join_results(mentions, facts))
+    merge_map = stage("pred_merge_map", lambda: pred_merge_map(cells))
+    cells_canon = cells.join(F.broadcast(merge_map), "pred_raw")
+    resolved = stage(
+        "resolved", lambda: resolve_dispatch(cells_canon, ("subj_norm", "pred_canon"))
+    )
+    clusters = stage("clusters", lambda: exact_clusters(facts))
+    dtypes = stage(
+        "pred_dtypes",
+        lambda: pred_profile(
+            cells_canon.withColumn("pred_raw", F.col("pred_canon"))
+        ).select(F.col("pred_raw").alias("pred_canon"), "dtype_major"),
+    )
+    triples = stage(
+        "triples",
+        lambda: to_triples(resolved, clusters, dtypes),
+        partition_by=["subj_bucket"],
+    )
+    return {
+        "transcripts": transcripts,
+        "facts": facts,
+        "mentions": mentions,
+        "cells": cells,
+        "postings": postings,
+        "attributes": attributes,
+        "join_results": jr,
+        "pred_merge_map": merge_map,
+        "resolved": resolved,
+        "clusters": clusters,
+        "triples": triples,
+        "lineage": ledger.lineage() if ledger else None,
+    }
+
+
+def default_checkpoint_root(sf_dir: str) -> str:
+    from mannheimsearchjoinsengine_spark.datagen import sf_tag_of_dir
+
+    return os.path.join("/root/repo/data/checkpoints", sf_tag_of_dir(sf_dir))
