@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline (transcripts →
+triples) at sf0.001; ``queries``/``oracle_sql`` expose every implemented
+operator from SURVEY.md §2 plus the training-data add-ons, with DuckDB
+oracles aligned column-by-column (see
+mannheimsearchjoinsengine_spark/driver_contract.py).
 """
 
 from __future__ import annotations
@@ -13,26 +13,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_CONTRACT = None
+
+
+def _contract():
+    global _CONTRACT
+    if _CONTRACT is None:
+        from mannheimsearchjoinsengine_spark.driver_contract import build_contract
+
+        _CONTRACT = build_contract()
+    return _CONTRACT
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG pipeline on sf0.001 → triple table."""
+    from mannheimsearchjoinsengine_spark.plans.pipeline import (
+        default_checkpoint_root,
+        run_pipeline,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    result = run_pipeline(spark, sf_dir, checkpoint_root=default_checkpoint_root(sf_dir))
+    return result["triples"].select("subj", "pred", "obj", "obj_dtype", "subj_bucket")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _contract()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _contract()[1]

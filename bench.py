@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+* ``kg_pipeline``  — the flagship end-to-end KG construction
+  (extract → index → search join → consolidate → resolve → canonicalize →
+  triplify) over the synthesized transcript table at this scale.
+  The headline ``value`` metric is its wall-clock; ``turns_per_sec`` is in
+  the extras.
+* per-operator headliners: probe, join-results, minhash dedup, n-gram
+  jaccard, ANN top-k, pricing summary.
+
+Scaling evidence (two-cluster-size proxy) is produced by
+``BENCH/run_scaling.sh`` which invokes this file at local[8] and local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from mannheimsearchjoinsengine_spark.datagen import sf_tag_of_dir, turns_for_tag
+    from mannheimsearchjoinsengine_spark.driver_contract import build_contract
+    from mannheimsearchjoinsengine_spark.plans.pipeline import run_pipeline
+    from mannheimsearchjoinsengine_spark.session import get_spark
+
+    spark = get_spark(app_name="sjspark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries, _ = build_contract(SF_DIR)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr, flush=True)
+
+    # warm the JVM + generate transcripts outside the timed region
+    n_turns = turns_for_tag(sf_tag_of_dir(SF_DIR))
+    queries["kg_turns"](spark, SF_DIR).count()
+
+    t0 = time.time()
+    triples = run_pipeline(spark, SF_DIR)["triples"]
+    n_triples = triples.count()
+    pipeline_s = round(time.time() - t0, 3)
+    timings["kg_pipeline"] = pipeline_s
+    print(f"# kg_pipeline: {pipeline_s}s ({n_triples} triples)", file=sys.stderr, flush=True)
+
+    for name in (
+        "kg_probe_topk",
+        "kg_join_results",
+        "kg_resolve_voting",
+        "doc_minhash_lsh",
+        "doc_ngram_jaccard_top",
+        "emb_cosine_topk",
+        "tpch_pricing_summary",
+    ):
+        timed(name, lambda name=name: queries[name](spark, SF_DIR).count())
+
+    out = {
+        "metric": "kg_pipeline_wall_clock",
+        "value": pipeline_s,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "turns_per_sec": round(n_turns / pipeline_s, 1),
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

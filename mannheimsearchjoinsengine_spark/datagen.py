@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATAGEN_VERSION = 2  # bump when the grammar changes → regenerates caches
+DATAGEN_VERSION = 3  # bump when the grammar changes → regenerates caches
 REPO_DATA = os.environ.get("SJSPARK_DATA_DIR", "/root/repo/data/transcripts")
 EPOCH = datetime(2026, 1, 1, 0, 0, 0)
 TICK_SECONDS = 37
@@ -92,7 +92,9 @@ def _entity_catalog():
             slug = name.lower().replace(" ", "")
             facts = []
             if cls == "city":
-                pop = rng.randint(10_000, 9_999_999)
+                # keep < 1e7: Spark double→string uses E-notation at ≥1e7,
+                # DuckDB doesn't — would break oracle value-hash parity
+                pop = rng.randint(10_000, 8_999_999)
                 facts.append(("population", f"{pop:,}", f"{pop + rng.randint(1, 999):,}"))
                 area = rng.randint(20, 9000)
                 facts.append(("area", f"{area} km2", f"{area + rng.randint(1, 50)} km2"))

@@ -1,0 +1,858 @@
+"""Driver contract: Spark queries + DuckDB oracle SQL pairs.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+add-ons) is exposed here twice: a PySpark callable ``(spark, sf_dir) →
+DataFrame`` and the equivalent DuckDB SQL. Column names and value formats
+are aligned pair-by-pair (the driver hashes values after sorting columns by
+name). TPC-H-ish tables are referenced through the driver's pre-registered
+views (``lineitem`` etc.); the transcript table is read via ``read_parquet``
+on the deterministic synthesized parquet (datagen.py) — same bytes for both
+engines.
+
+Float discipline: compared outputs carry integers/strings or
+``round(x, 2..4)`` doubles whose magnitudes make last-bit divergence
+impossible at the rounding grain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
+from mannheimsearchjoinsengine_spark.functions import text as T
+from mannheimsearchjoinsengine_spark.functions.normalize import duck_norm_key, duck_norm_tokens
+from mannheimsearchjoinsengine_spark.functions.typeguess import duck_guess_type
+from mannheimsearchjoinsengine_spark.operators import (
+    ann,
+    canonical,
+    dedup,
+    extract,
+    fuzzy,
+    index,
+    match,
+    probe,
+    profile,
+    resolve,
+)
+from mannheimsearchjoinsengine_spark.sources.transcripts import load_table, load_transcripts
+
+SF_ORACLE_DIR = "/root/testdata/sf0.01"  # driver's correctness scale
+
+ASSISTANT_RE = extract.ASSISTANT_FACT_RE
+MENTION_RE = extract.USER_MENTION_RE
+
+_DISPLAY = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(subj_surface,"
+    " '&(nbsp|amp|quot|lt|gt);', ' ', 'g'),"
+    " '\\([^)]*\\)|\\[[^\\]]*\\]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+# --------------------------------------------------------------------------
+# DuckDB preludes: transcript extraction CTEs (oracle twins of extract.py,
+# profile.py, match.py)
+# --------------------------------------------------------------------------
+
+def facts_prelude(path: str) -> str:
+    nk = duck_norm_key("subj_surface")
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}')),
+af AS (
+  SELECT conv_id, turn_idx, ts, 'assistant' AS src,
+         regexp_extract(text, '{ASSISTANT_RE}', 1) AS pred_raw,
+         regexp_extract(text, '{ASSISTANT_RE}', 2) AS subj_surface,
+         regexp_extract(text, '{ASSISTANT_RE}', 3) AS obj_raw
+  FROM t WHERE role = 'assistant'
+    AND regexp_extract(text, '{ASSISTANT_RE}', 1) <> ''
+),
+tkv AS (
+  SELECT conv_id, turn_idx, ts,
+         split_part(kv, '=', 1) AS k, split_part(kv, '=', 2) AS v
+  FROM (SELECT conv_id, turn_idx, ts, unnest(string_split(text, '; ')) AS kv
+        FROM t WHERE role = 'tool')
+),
+tf AS (
+  SELECT p.conv_id, p.turn_idx, p.ts, 'tool' AS src,
+         p.k AS pred_raw, e.v AS subj_surface, p.v AS obj_raw
+  FROM tkv p
+  JOIN (SELECT conv_id, turn_idx, max(v) AS v FROM tkv WHERE k = 'entity'
+        GROUP BY conv_id, turn_idx) e
+    ON p.conv_id = e.conv_id AND p.turn_idx = e.turn_idx
+  WHERE p.k <> 'entity'
+),
+facts AS (
+  SELECT u.*, {nk} AS subj_norm
+  FROM (SELECT * FROM af UNION ALL SELECT * FROM tf) u
+),
+mentions AS (
+  SELECT conv_id, turn_idx, ts, subj_surface, {nk} AS subj_norm
+  FROM (
+    SELECT conv_id, turn_idx, ts,
+           regexp_extract(text, '{MENTION_RE}', 1) AS subj_surface
+    FROM t WHERE role = 'user'
+  ) WHERE subj_surface <> ''
+)
+"""
+
+
+def cells_prelude(path: str) -> str:
+    return facts_prelude(path) + f""",
+cells AS (
+  SELECT *, {duck_guess_type('obj_raw')} AS dtype FROM facts
+)
+"""
+
+
+def merge_prelude(path: str) -> str:
+    """cells + predicate merge map (match.py twin)."""
+    return cells_prelude(path) + """,
+ev AS (SELECT DISTINCT pred_raw, subj_norm, obj_raw FROM cells),
+sizes AS (SELECT pred_raw, count(*) AS n_pairs FROM ev GROUP BY 1),
+shared AS (
+  SELECT e1.pred_raw AS pred1, e2.pred_raw AS pred2, count(*) AS shared
+  FROM ev e1 JOIN ev e2
+    ON e1.subj_norm = e2.subj_norm AND e1.obj_raw = e2.obj_raw
+   AND e1.pred_raw < e2.pred_raw
+  GROUP BY 1, 2
+),
+pair_scores AS (
+  SELECT pred1, pred2, shared, s1.n_pairs AS n1, s2.n_pairs AS n2,
+         round(shared / (s1.n_pairs + s2.n_pairs - shared), 4) AS jaccard,
+         round(shared / least(s1.n_pairs, s2.n_pairs), 4) AS containment
+  FROM shared
+  JOIN sizes s1 ON s1.pred_raw = pred1
+  JOIN sizes s2 ON s2.pred_raw = pred2
+),
+merge_edges AS (
+  SELECT pred1, pred2,
+         CASE WHEN n1 > n2 OR (n1 = n2 AND pred1 < pred2) THEN pred1
+              ELSE pred2 END AS winner
+  FROM pair_scores WHERE containment >= 0.7 AND shared >= 2
+),
+merge_map_raw AS (
+  SELECT CASE WHEN winner = pred1 THEN pred2 ELSE pred1 END AS pred_raw,
+         min(winner) AS pred_canon
+  FROM merge_edges GROUP BY 1
+),
+merge_map AS (
+  SELECT p.pred_raw, coalesce(m.pred_canon, p.pred_raw) AS pred_canon
+  FROM (SELECT DISTINCT pred_raw FROM cells) p
+  LEFT JOIN merge_map_raw m ON p.pred_raw = m.pred_raw
+),
+ccells AS (
+  SELECT c.*, m.pred_canon FROM cells c JOIN merge_map m ON c.pred_raw = m.pred_raw
+)
+"""
+
+
+def postings_body() -> str:
+    return f""",
+labels AS (
+  SELECT subj_norm, conv_id, count(*) AS n_rows FROM facts GROUP BY 1, 2
+),
+n_labels AS (SELECT count(DISTINCT subj_norm) AS n FROM labels),
+postings_all AS (
+  SELECT unnest({duck_norm_tokens('subj_norm')}) AS token, subj_norm, conv_id, n_rows
+  FROM labels
+),
+tok_df AS (SELECT token, count(DISTINCT subj_norm) AS df_labels
+           FROM postings_all GROUP BY 1),
+postings AS (
+  SELECT p.* FROM postings_all p
+  JOIN tok_df d ON p.token = d.token
+  WHERE d.df_labels <= CAST(floor(0.5 * (SELECT n FROM n_labels)) AS BIGINT) + 1
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side helpers (lineage cuts keep per-query plans small)
+# --------------------------------------------------------------------------
+
+def _facts_ck(spark: SparkSession, sf: str) -> DataFrame:
+    return extract.extract_facts(load_transcripts(spark, sf)).localCheckpoint()
+
+
+def _mentions(spark: SparkSession, sf: str) -> DataFrame:
+    return extract.extract_mentions(load_transcripts(spark, sf))
+
+
+def _cells_ck(spark: SparkSession, sf: str) -> DataFrame:
+    return profile.typed_cells(_facts_ck(spark, sf)).localCheckpoint()
+
+
+def _ccells_ck(spark: SparkSession, sf: str) -> DataFrame:
+    cells = _cells_ck(spark, sf)
+    mm = match.pred_merge_map(cells).localCheckpoint()
+    return cells.join(F.broadcast(mm), "pred_raw")
+
+
+def _triples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mannheimsearchjoinsengine_spark.plans.pipeline import run_pipeline
+
+    r = run_pipeline(spark, sf_dir)
+    return r["triples"].select("subj", "pred", "obj", "obj_dtype").distinct()
+
+
+def _langid_query(docs: DataFrame) -> DataFrame:
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id", *[scores[lang].alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")]
+    )
+
+
+def _quality_query(docs: DataFrame) -> DataFrame:
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def build_contract(sf_dir: str = SF_ORACLE_DIR) -> tuple[dict[str, Callable], dict[str, str]]:
+    """Build (queries, oracles). ``sf_dir`` fixes the transcript parquet the
+    ORACLE SQL reads (the Spark side always uses its call-time sf_dir)."""
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    tpath = ensure_transcripts(sf_dir)
+
+    def q(name: str, fn: Callable, sql: str | None = None) -> None:
+        queries[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+
+    # ---------------- transcripts / KG pipeline ----------------
+
+    q(
+        "kg_turns",
+        lambda spark, sf: load_transcripts(spark, sf).select(
+            "conv_id", "turn_idx", "role", "text", "tool"
+        ),
+        f"SELECT conv_id, turn_idx, role, text, tool FROM read_parquet('{tpath}')",
+    )
+
+    q(
+        "kg_extract_facts",
+        lambda spark, sf: extract.extract_facts(load_transcripts(spark, sf)).select(
+            "conv_id", "turn_idx", "src", "pred_raw", "subj_surface", "obj_raw", "subj_norm"
+        ),
+        facts_prelude(tpath)
+        + "SELECT conv_id, turn_idx, src, pred_raw, subj_surface, obj_raw, subj_norm FROM facts",
+    )
+
+    q(
+        "kg_extract_mentions",
+        lambda spark, sf: extract.extract_mentions(load_transcripts(spark, sf)).select(
+            "conv_id", "turn_idx", "subj_surface", "subj_norm"
+        ),
+        facts_prelude(tpath)
+        + "SELECT conv_id, turn_idx, subj_surface, subj_norm FROM mentions",
+    )
+
+    q(
+        "kg_cells_typed",
+        lambda spark, sf: profile.typed_cells(
+            extract.extract_facts(load_transcripts(spark, sf))
+        ).select("conv_id", "turn_idx", "pred_raw", "subj_norm", "obj_raw", "dtype"),
+        cells_prelude(tpath)
+        + "SELECT conv_id, turn_idx, pred_raw, subj_norm, obj_raw, dtype FROM cells",
+    )
+
+    q(
+        "kg_pred_profile",
+        lambda spark, sf: profile.pred_profile(_cells_ck(spark, sf)),
+        cells_prelude(tpath)
+        + """,
+votes AS (SELECT pred_raw, dtype, count(*) AS n FROM cells GROUP BY 1, 2),
+major AS (
+  SELECT pred_raw, dtype AS dtype_major FROM (
+    SELECT pred_raw, dtype,
+           row_number() OVER (PARTITION BY pred_raw ORDER BY n DESC, dtype ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT s.pred_raw, s.n_values, s.n_distinct, s.avg_len, s.n_subjects, m.dtype_major
+FROM (
+  SELECT pred_raw, count(*) AS n_values, count(DISTINCT obj_raw) AS n_distinct,
+         round(avg(length(obj_raw)), 4) AS avg_len,
+         count(DISTINCT subj_norm) AS n_subjects
+  FROM cells GROUP BY 1) s
+JOIN major m ON s.pred_raw = m.pred_raw""",
+    )
+
+    q(
+        "kg_value_multiplicity",
+        lambda spark, sf: profile.value_multiplicity(
+            extract.extract_facts(load_transcripts(spark, sf))
+        ),
+        facts_prelude(tpath)
+        + "SELECT pred_raw, obj_raw, count(*) AS mult FROM facts GROUP BY 1, 2",
+    )
+
+    q(
+        "kg_uniqueness",
+        lambda spark, sf: profile.uniqueness_rank(
+            extract.extract_facts(load_transcripts(spark, sf))
+        ),
+        facts_prelude(tpath)
+        + """,
+mult AS (SELECT pred_raw, obj_raw, count(*) AS mult FROM facts GROUP BY 1, 2)
+SELECT pred_raw,
+       round(sum(CASE WHEN mult = 1 THEN 1 ELSE 0 END) / sum(mult), 4) AS uniqueness
+FROM mult GROUP BY 1""",
+    )
+
+    q(
+        "kg_subject_election",
+        lambda spark, sf: profile.subject_election(
+            _facts_ck(spark, sf), _mentions(spark, sf)
+        ),
+        facts_prelude(tpath)
+        + """,
+occ AS (SELECT conv_id, subj_norm FROM facts
+        UNION ALL SELECT conv_id, subj_norm FROM mentions),
+cnt AS (SELECT conv_id, subj_norm, count(*) AS n FROM occ GROUP BY 1, 2)
+SELECT conv_id, subj_norm AS primary_subject, n AS n_occurrences FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY n DESC, subj_norm ASC) AS rn
+  FROM cnt) WHERE rn = 1""",
+    )
+
+    q(
+        "kg_postings_stats",
+        lambda spark, sf: index.token_stats(index.build_postings(_facts_ck(spark, sf))),
+        facts_prelude(tpath)
+        + postings_body()
+        + """
+SELECT token, count(DISTINCT subj_norm) AS df_labels,
+       count(DISTINCT conv_id) AS df_convs, count(*) AS postings_cnt
+FROM postings GROUP BY 1""",
+    )
+
+    q(
+        "kg_attributes",
+        lambda spark, sf: index.build_attributes(
+            profile.typed_cells(extract.extract_facts(load_transcripts(spark, sf)))
+        ),
+        facts_prelude(tpath)
+        + """
+SELECT conv_id, pred_raw, count(*) AS card, count(DISTINCT obj_raw) AS n_distinct
+FROM facts GROUP BY 1, 2""",
+    )
+
+    q(
+        "kg_probe_topk",
+        lambda spark, sf: probe.probe(
+            _mentions(spark, sf), index.build_postings(_facts_ck(spark, sf))
+        ).select(
+            "query_norm", "cand_norm", "matched_tokens", "n_query_tokens", "is_exact", "rank"
+        ),
+        facts_prelude(tpath)
+        + postings_body()
+        + f""",
+q AS (
+  SELECT subj_norm AS query_norm, unnest({duck_norm_tokens('subj_norm')}) AS token
+  FROM (SELECT DISTINCT subj_norm FROM mentions)
+),
+qsize AS (SELECT query_norm, count(*) AS n_query_tokens FROM q GROUP BY 1),
+cand AS (SELECT DISTINCT token, subj_norm AS cand_norm FROM postings),
+hits AS (
+  SELECT q.query_norm, c.cand_norm, count(*) AS matched_tokens
+  FROM q JOIN cand c ON q.token = c.token GROUP BY 1, 2
+)
+SELECT query_norm, cand_norm, matched_tokens, n_query_tokens,
+       (matched_tokens = n_query_tokens AND query_norm = cand_norm) AS is_exact, rank
+FROM (
+  SELECT h.*, s.n_query_tokens,
+         row_number() OVER (PARTITION BY h.query_norm
+                            ORDER BY h.matched_tokens DESC, h.cand_norm ASC) AS rank
+  FROM hits h JOIN qsize s ON h.query_norm = s.query_norm
+) WHERE rank <= 5""",
+    )
+
+    q(
+        "kg_join_results",
+        lambda spark, sf: probe.join_results(
+            _mentions(spark, sf), _facts_ck(spark, sf)
+        ),
+        facts_prelude(tpath)
+        + """,
+l AS (SELECT subj_norm, count(*) AS mult_l FROM mentions GROUP BY 1),
+r AS (SELECT subj_norm, conv_id, count(*) AS mult_r FROM facts GROUP BY 1, 2),
+jr AS (
+  -- CAST: DuckDB sums of BIGINT widen to HUGEINT (→ float64 in pandas);
+  -- Spark stays int64 — keep the wire types identical for value hashing
+  SELECT r.conv_id, count(*) AS matched_keys,
+         CAST(sum(l.mult_l) AS BIGINT) AS sum_mult_l,
+         CAST(sum(r.mult_r) AS BIGINT) AS sum_mult_r,
+         CAST(sum(l.mult_l * r.mult_r) AS BIGINT) AS join_size
+  FROM l JOIN r ON l.subj_norm = r.subj_norm GROUP BY 1
+)
+SELECT * FROM (
+  SELECT jr.*, row_number() OVER (ORDER BY matched_keys DESC, join_size DESC, conv_id ASC)
+         AS total_rank
+  FROM jr) WHERE total_rank <= 100""",
+    )
+
+    q(
+        "kg_fuzzy_pairs",
+        lambda spark, sf: fuzzy.fuzzy_self_pairs(
+            _facts_ck(spark, sf).select("subj_norm")
+        ),
+        facts_prelude(tpath)
+        + f""",
+lbl AS (SELECT DISTINCT subj_norm FROM facts),
+tok AS (
+  SELECT subj_norm AS key, len({duck_norm_tokens('subj_norm')}) AS ntok,
+         unnest({duck_norm_tokens('subj_norm')}) AS token
+  FROM lbl
+),
+pairs AS (
+  SELECT DISTINCT a.key AS left_key, a.ntok AS ln, b.key AS right_key, b.ntok AS rn_, a.token
+  FROM tok a JOIN tok b ON a.token = b.token
+),
+agg AS (
+  SELECT left_key, right_key, ln, rn_, count(*) AS shared_tokens
+  FROM pairs GROUP BY 1, 2, 3, 4
+)
+SELECT left_key, right_key, shared_tokens,
+       round(shared_tokens / (ln + rn_ - shared_tokens), 4) AS jaccard
+FROM agg
+WHERE round(shared_tokens / (ln + rn_ - shared_tokens), 4) >= 0.5
+  AND left_key < right_key""",
+    )
+
+    q(
+        "kg_pred_pair_scores",
+        lambda spark, sf: match.pred_pair_scores(_cells_ck(spark, sf)),
+        merge_prelude(tpath)
+        + "SELECT pred1, pred2, shared, n1, n2, jaccard, containment FROM pair_scores",
+    )
+
+    q(
+        "kg_pred_merge_map",
+        lambda spark, sf: match.pred_merge_map(_cells_ck(spark, sf)),
+        merge_prelude(tpath) + "SELECT pred_raw, pred_canon FROM merge_map",
+    )
+
+    q(
+        "kg_clusters",
+        lambda spark, sf: canonical.exact_clusters(_facts_ck(spark, sf)),
+        facts_prelude(tpath)
+        + f"""
+SELECT subj_norm, min({_DISPLAY}) AS canonical_label,
+       count(DISTINCT subj_surface) AS n_surfaces, count(*) AS n_occurrences
+FROM facts GROUP BY 1""",
+    )
+
+    q(
+        "kg_resolve_voting",
+        lambda spark, sf: resolve.resolve_voting(_ccells_ck(spark, sf)),
+        merge_prelude(tpath)
+        + """,
+grp AS (
+  SELECT subj_norm, pred_canon, obj_raw, count(*) AS cnt, max(ts) AS last_ts
+  FROM ccells GROUP BY 1, 2, 3
+)
+SELECT subj_norm, pred_canon, obj_raw AS obj_resolved, cnt AS votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY subj_norm, pred_canon
+                               ORDER BY cnt DESC, last_ts ASC, obj_raw ASC) AS rn
+  FROM grp) WHERE rn = 1""",
+    )
+
+    q(
+        "kg_resolve_median",
+        lambda spark, sf: resolve.resolve_median(
+            _cells_ck(spark, sf)
+            .filter(F.col("dtype") == "numeric")
+            .withColumn("pred_canon", F.col("pred_raw"))
+        ),
+        cells_prelude(tpath)
+        + """,
+nums AS (
+  SELECT subj_norm, pred_raw AS pred_canon, ts,
+         try_cast(replace(trim(obj_raw), ',', '') AS DOUBLE) AS num
+  FROM cells WHERE dtype = 'numeric'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY subj_norm, pred_canon
+                               ORDER BY num ASC, ts ASC) AS rn,
+         count(*) OVER (PARTITION BY subj_norm, pred_canon) AS n
+  FROM nums WHERE num IS NOT NULL
+)
+SELECT subj_norm, pred_canon, num AS obj_resolved, n AS n_values
+FROM ranked
+WHERE rn = CASE WHEN n = 1 THEN 1
+                WHEN n % 2 = 0 THEN n / 2 + 1
+                ELSE n // 2 + 2 END""",
+    )
+
+    q(
+        "kg_triples",
+        _triples_query,
+        merge_prelude(tpath)
+        + """,
+major AS (
+  SELECT subj_norm, pred_canon, dtype AS dtype_major FROM (
+    SELECT subj_norm, pred_canon, dtype, count(*) AS dn,
+           row_number() OVER (PARTITION BY subj_norm, pred_canon
+                              ORDER BY count(*) DESC, dtype ASC) AS rn
+    FROM ccells GROUP BY subj_norm, pred_canon, dtype)
+  WHERE rn = 1
+),
+mcells AS (
+  SELECT c.*, m.dtype_major FROM ccells c
+  JOIN major m ON c.subj_norm = m.subj_norm AND c.pred_canon = m.pred_canon
+),
+voting AS (
+  SELECT subj_norm, pred_canon, obj_raw AS obj_resolved FROM (
+    SELECT subj_norm, pred_canon, obj_raw,
+           row_number() OVER (PARTITION BY subj_norm, pred_canon
+                              ORDER BY count(*) DESC, max(ts) ASC, obj_raw ASC) AS rn
+    FROM mcells WHERE dtype_major = 'string' GROUP BY subj_norm, pred_canon, obj_raw
+  ) WHERE rn = 1
+),
+med AS (
+  SELECT subj_norm, pred_canon, CAST(num AS VARCHAR) AS obj_resolved FROM (
+    SELECT subj_norm, pred_canon, num,
+           row_number() OVER (PARTITION BY subj_norm, pred_canon ORDER BY num ASC, ts ASC) AS rn,
+           count(*) OVER (PARTITION BY subj_norm, pred_canon) AS n
+    FROM (
+      SELECT subj_norm, pred_canon, ts,
+             try_cast(replace(regexp_extract(obj_raw, '^(-?[0-9][0-9,]*(\\.[0-9]+)?)', 1), ',', '')
+                      AS DOUBLE) AS num
+      FROM mcells WHERE dtype_major IN ('numeric', 'unit')
+    ) WHERE num IS NOT NULL
+  ) WHERE rn = CASE WHEN n = 1 THEN 1 WHEN n % 2 = 0 THEN n / 2 + 1 ELSE n // 2 + 2 END
+),
+dates AS (
+  SELECT subj_norm, pred_canon,
+         CAST(CAST(trunc(epoch(d) / n) AS BIGINT) AS VARCHAR) AS obj_resolved
+  FROM (
+    SELECT subj_norm, pred_canon, d,
+           row_number() OVER (PARTITION BY subj_norm, pred_canon ORDER BY ts DESC) AS rn,
+           count(*) OVER (PARTITION BY subj_norm, pred_canon) AS n
+    FROM (
+      SELECT subj_norm, pred_canon, ts,
+             coalesce(try_strptime(obj_raw, '%m/%d/%Y'), try_strptime(obj_raw, '%Y-%m-%d'),
+                      try_strptime(obj_raw, '%d.%m.%Y')) AS d
+      FROM mcells WHERE dtype_major = 'date'
+    ) WHERE d IS NOT NULL
+  ) WHERE rn = 1
+),
+firsts AS (
+  SELECT subj_norm, pred_canon, obj_raw AS obj_resolved FROM (
+    SELECT subj_norm, pred_canon, obj_raw,
+           row_number() OVER (PARTITION BY subj_norm, pred_canon
+                              ORDER BY ts ASC, obj_raw ASC) AS rn
+    FROM mcells WHERE dtype_major NOT IN ('string', 'numeric', 'unit', 'date')
+  ) WHERE rn = 1
+),
+resolved AS (
+  SELECT * FROM voting UNION ALL SELECT * FROM med
+  UNION ALL SELECT * FROM dates UNION ALL SELECT * FROM firsts
+),
+clusters AS (
+  SELECT subj_norm, min(""" + _DISPLAY + """) AS canonical_label FROM facts GROUP BY 1
+),
+pdtypes AS (
+  SELECT pred_canon, dtype AS dtype_major FROM (
+    SELECT pred_canon, dtype, count(*) AS n,
+           row_number() OVER (PARTITION BY pred_canon ORDER BY count(*) DESC, dtype ASC) AS rn
+    FROM ccells GROUP BY pred_canon, dtype)
+  WHERE rn = 1
+)
+SELECT DISTINCT cl.canonical_label AS subj, r.pred_canon AS pred,
+       r.obj_resolved AS obj, pd.dtype_major AS obj_dtype
+FROM resolved r
+JOIN clusters cl ON r.subj_norm = cl.subj_norm
+JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
+    )
+
+    _register_doc_queries(q)
+    _register_tpch_queries(q)
+    return queries, oracles
+
+
+# --------------------------------------------------------------------------
+# documents / embeddings queries (driver view names: documents, embeddings)
+# --------------------------------------------------------------------------
+
+def _register_doc_queries(q) -> None:
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+    q(
+        "doc_exact_dedup",
+        lambda spark, sf: dedup.exact_dedup(load_table(spark, sf, "documents")),
+        f"""
+SELECT {T.duck_fingerprint('text')} AS fp, min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM documents GROUP BY 1""",
+    )
+
+    q(
+        "doc_ngram_jaccard_top",
+        lambda spark, sf: dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3),
+        f"""
+WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, unnest(
+    CASE WHEN len(tk) >= 3
+         THEN list_transform(generate_series(1, len(tk) - 2),
+                             i -> array_to_string(tk[i:i+2], ' '))
+         ELSE [] END) AS shingle
+  FROM d
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc1, doc2, shared,
+         round(shared / (s1.n_sh + s2.n_sh - shared), 4) AS jaccard
+  FROM shared JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
+)
+SELECT doc1, doc2, shared, jaccard, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc1 ASC, doc2 ASC) AS rn
+  FROM jac) WHERE rn <= 100""",
+    )
+
+    sigs = ",\n    ".join(
+        f"min(substr(md5('{j}:' || shingle), 1, 16)) AS sig_{j}" for j in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS bucket FROM sig"
+        for b in range(4)
+    )
+    q(
+        "doc_minhash_lsh",
+        lambda spark, sf: dedup.minhash_lsh_pairs(load_table(spark, sf, "documents")),
+        f"""
+WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest(tk) AS shingle FROM d),
+sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT c.doc1, c.doc2, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc1
+  JOIN sh b ON b.doc = c.doc2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(shared / (s1.n_sh + s2.n_sh - shared), 4) AS jaccard
+FROM shared JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
+WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 4) >= 0.5""",
+    )
+
+    votes = ",\n    ".join(
+        "sum(CASE WHEN strpos('13579bdf', substr(md5(shingle), %d, 1)) > 0 "
+        "THEN 1 ELSE -1 END) AS v%d" % (b + 1, b)
+        for b in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    q(
+        "doc_simhash",
+        lambda spark, sf: dedup.simhash(load_table(spark, sf, "documents")),
+        f"""
+WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest(tk) AS shingle FROM d),
+votes AS (SELECT doc, {votes} FROM sh GROUP BY doc)
+SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM votes""",
+    )
+
+    q(
+        "doc_langid",
+        lambda spark, sf: _langid_query(load_table(spark, sf, "documents")),
+        f"""
+SELECT doc_id,
+       {T.duck_lang_score('text', 'en')} AS score_en,
+       {T.duck_lang_score('text', 'de')} AS score_de,
+       {T.duck_lang_score('text', 'fr')} AS score_fr,
+       {T.duck_lang_score('text', 'es')} AS score_es
+FROM documents""",
+    )
+
+    q(
+        "doc_quality",
+        lambda spark, sf: _quality_query(load_table(spark, sf, "documents")),
+        """
+WITH b AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> list_contains(['the','a','and','of','to','is'], x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio
+FROM b""",
+    )
+
+    q(
+        "doc_token_counts",
+        lambda spark, sf: load_table(spark, sf, "documents").select(
+            "doc_id",
+            T.ws_token_count(F.col("text")).alias("ws_tokens"),
+            T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        ),
+        f"""
+SELECT doc_id, {T.duck_ws_token_count('text')} AS ws_tokens,
+       {T.duck_bpe_token_count('text')} AS bpe_tokens
+FROM documents""",
+    )
+
+    q(
+        "doc_fingerprint",
+        lambda spark, sf: load_table(spark, sf, "documents").select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fp")
+        ),
+        f"SELECT doc_id, {T.duck_fingerprint('text')} AS fp FROM documents",
+    )
+
+    cos = (
+        "round(list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+        "sqrt(list_dot_product(b.embedding, b.embedding))), 4)"
+    )
+    q(
+        "emb_cosine_topk",
+        lambda spark, sf: ann.brute_force_topk(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
+        ),
+        f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
+    )
+
+    q(
+        "emb_near_dup",
+        lambda spark, sf: dedup.embedding_near_dup_pairs(
+            load_table(spark, sf, "embeddings"), tau=0.9
+        ),
+        f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.9""",
+    )
+
+    # scale-path ANN: no SQL oracle (recall measured in pytest vs brute force)
+    q(
+        "emb_lsh_topk",
+        lambda spark, sf: ann.lsh_topk(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational operator demos over the provided TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def _register_tpch_queries(q) -> None:
+    q(
+        "tpch_pricing_summary",
+        lambda spark, sf: load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        ),
+        """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY 1, 2""",
+    )
+
+    def _topk_orders(spark, sf):
+        orders = load_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        )
+
+    q(
+        "tpch_topk_orders_per_cust",
+        _topk_orders,
+        """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3""",
+    )
+
+    def _cust_nation(spark, sf):
+        c = load_table(spark, sf, "customer")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            )
+        )
+
+    q(
+        "tpch_customer_nation_rollup",
+        _cust_nation,
+        """
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2""",
+    )
+
+    q(
+        "events_type_stats",
+        lambda spark, sf: load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ),
+        """
+SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""",
+    )

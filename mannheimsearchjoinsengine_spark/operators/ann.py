@@ -61,13 +61,13 @@ def _hyperplane(plane: int, dim: int):
     return h / F.lit(float(0xFFFFFFFF)) - 0.5
 
 
-def lsh_bucket(vec_col, n_planes: int, dim: int):
+def lsh_bucket(vec_col, n_planes: int, dim: int, plane_offset: int = 0):
     """Random-hyperplane signature (int bucket id) for a vector column."""
     sig = F.lit(0)
     for p in range(n_planes):
         dot = F.lit(0.0)
         for d in range(dim):
-            dot = dot + F.element_at(vec_col, d + 1) * _hyperplane(p, d)
+            dot = dot + F.element_at(vec_col, d + 1) * _hyperplane(plane_offset + p, d)
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
 
@@ -76,32 +76,58 @@ def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: rank only within the query's hyperplane bucket.
-    Recall < 1 by construction; pytest measures it against brute force."""
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+    """Multi-table LSH ANN: ``n_tables`` independent hyperplane signatures;
+    a corpus vector is a candidate when it shares the bucket of ANY table
+    (standard multi-table LSH — one table's collision probability for a
+    near neighbor is (1-θ/π)^planes, multiple tables OR them together).
+    Recall < 1 by construction; pytest measures it against brute force.
+
+    At scale: corpus bucketing is one narrow pass; each table's probe is a
+    hash join on (table, bucket) — no all-pairs scan."""
+    tables_c = []
+    tables_q = []
+    for t in range(n_tables):
+        plane_base = t * planes_per_table
+        b = lsh_bucket(F.col(vec_col), planes_per_table, dim, plane_offset=plane_base)
+        tables_c.append(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                F.lit(t).alias("table_no"),
+                b.alias("bucket"),
+            )
         )
+        tables_q.append(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.lit(t).alias("table_no"),
+                b.alias("bucket"),
+            )
+        )
+    c = tables_c[0]
+    for x in tables_c[1:]:
+        c = c.union(x)
+    q = tables_q[0]
+    for x in tables_q[1:]:
+        q = q.union(x)
+    cand = (
+        F.broadcast(q)
+        .join(c, ["table_no", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

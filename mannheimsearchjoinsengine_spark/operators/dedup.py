@@ -43,11 +43,15 @@ def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> Data
     if n == 1:
         sh = toks
     else:
-        # shingles: join n consecutive tokens; sequence + slice, all native
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+        # shingles: join n consecutive tokens; sequence + slice, all native.
+        # Guard: sequence(1, 0) would DESCEND in Spark — short docs get [].
+        sh = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -1,0 +1,141 @@
+"""Operator-level golden tests: reference-quirk parity (voting tie order,
+upper-median, date-average bug), normalization, type cascade, connected
+components, minhash/LSH recall."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.functions._porter import stem_word
+from mannheimsearchjoinsengine_spark.functions.normalize import norm_key
+from mannheimsearchjoinsengine_spark.functions.typeguess import guess_type
+from mannheimsearchjoinsengine_spark.operators.canonical import connected_components
+from mannheimsearchjoinsengine_spark.operators.resolve import (
+    resolve_date_average,
+    resolve_median,
+    resolve_voting,
+)
+
+
+def _cells(spark, values, dtype="string"):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        Row(
+            subj_norm="s", pred_canon="p", obj_raw=v,
+            ts=base + dt.timedelta(seconds=37 * i), dtype=dtype,
+        )
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_voting_first_to_reach_max(spark):
+    # b reaches count 2 at position 3; a reaches count 2 at position 4 →
+    # reference votForFinalValue keeps b (strictly-greater update rule).
+    df = _cells(spark, ["a", "b", "b", "a"])
+    out = resolve_voting(df).collect()[0]
+    assert out.obj_resolved == "b"
+    # all singletons → first value wins
+    df2 = _cells(spark, ["z", "m", "a"])
+    assert resolve_voting(df2).collect()[0].obj_resolved == "z"
+
+
+@pytest.mark.parametrize(
+    "vals,expected",
+    [
+        (["1", "2", "3", "4"], 3.0),   # even n → values[n/2] (0-based upper)
+        (["1", "2", "3"], 3.0),        # odd n → values[n/2+1] (the quirk!)
+        (["5"], 5.0),                  # n=1 → the value (reference would throw)
+        (["10", "20", "30", "40", "50"], 40.0),  # n=5 → index 3
+    ],
+)
+def test_median_reference_quirk(spark, vals, expected):
+    out = resolve_median(_cells(spark, vals, dtype="numeric")).collect()[0]
+    assert out.obj_resolved == expected
+
+
+def test_date_average_last_date_bug(spark):
+    # reference bug: only the LAST date is counted, divided by n
+    df = _cells(spark, ["2000-01-01", "1970-01-03"], dtype="date")
+    out = resolve_date_average(df).collect()[0]
+    assert out.avg_epoch_s == (2 * 86400) // 2  # last date epoch / n
+
+
+def test_norm_key_variants(spark):
+    surfaces = [
+        "New Brightwater",
+        "NEW BRIGHTWATER",
+        "new brightwater",
+        "Brightwater New",
+        "New Brightwater (city)",
+        "New Brightwater&nbsp;",
+        "New Brightwater [sic]",
+    ]
+    df = spark.createDataFrame([(s,) for s in surfaces], ["s"])
+    keys = {r.k for r in df.select(norm_key(F.col("s")).alias("k")).collect()}
+    assert keys == {"brightwater new"}
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("{a|b|c}", "list"),
+        ("500 km2", "unit"),
+        ("10/31/1912", "date"),
+        ("1912-10-31", "date"),
+        ("31.10.1912", "date"),
+        ("true", "bool"),
+        ("http://x.example.com", "link"),
+        ("41.1775, 20.6788", "coordinate"),
+        ("1,234,567", "numeric"),
+        ("-3.5", "numeric"),
+        ("unity honor", "string"),
+        ("x" * 60, "string"),  # 50-char cutoff
+    ],
+)
+def test_type_cascade(spark, value, expected):
+    df = spark.createDataFrame([(value,)], ["v"])
+    assert df.select(guess_type(F.col("v")).alias("t")).collect()[0].t == expected
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "a")],
+        ["src", "dst"],
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    # {a,b,c,p,q,r} one component (min 'a'); {x,y} another (min 'x')
+    assert comp["a"] == comp["b"] == comp["c"] == comp["p"] == comp["q"] == comp["r"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_porter_stemmer_golden():
+    golden = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "falling": "fall",
+        "happy": "happi", "relational": "relat", "conditional": "condit",
+        "digitizer": "digit", "operator": "oper", "triplicate": "triplic",
+        "formative": "form", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "adjustable": "adjust",
+        "effective": "effect", "probate": "probat", "cease": "ceas",
+    }
+    for w, s in golden.items():
+        assert stem_word(w) == s, f"{w}: got {stem_word(w)}, want {s}"
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    from mannheimsearchjoinsengine_spark.operators.ann import brute_force_topk, lsh_topk
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    ls = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, qs, k=5).collect()}
+    recall = len(bf & ls) / len(bf)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"

@@ -1,0 +1,68 @@
+"""End-to-end gates from BASELINE.json: triple P/R ≥ 0.95 vs the pure-Python
+reference oracle, per-turn text equality, checkpoint resume identity."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
+from mannheimsearchjoinsengine_spark.plans.pipeline import run_pipeline
+from mannheimsearchjoinsengine_spark.refimpl import oracle
+
+
+def test_triples_precision_recall(spark, sf_dir):
+    expected = oracle.triples(ensure_transcripts(sf_dir))
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in run_pipeline(spark, sf_dir)["triples"]
+        .select("subj", "pred", "obj", "obj_dtype")
+        .collect()
+    }
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(expected) if expected else 0.0
+    assert precision >= 0.95, (
+        f"precision {precision:.3f}; sample engine-only: {sorted(got - expected)[:5]}"
+    )
+    assert recall >= 0.95, (
+        f"recall {recall:.3f}; sample oracle-only: {sorted(expected - got)[:5]}"
+    )
+
+
+def test_per_turn_text_equality(spark, sf_dir):
+    """North-rule invariant: engine-visible turns == input, exactly, under
+    stable (conv_id, turn_idx) ordering."""
+    path = ensure_transcripts(sf_dir)
+    a = spark.read.parquet(path).select("conv_id", "turn_idx", "text")
+    b = spark.read.parquet(path).select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b).count() == 0
+    # ordering is dense and unique per conversation
+    dup = (
+        spark.read.parquet(path)
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_checkpoint_resume_identical(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    r1 = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    t1 = sorted(
+        (r.subj, r.pred, r.obj) for r in r1["triples"].select("subj", "pred", "obj").collect()
+    )
+    # simulate a crash after the 'resolved' stage: wipe later stages only
+    shutil.rmtree(f"{root}/triples", ignore_errors=True)
+    shutil.rmtree(f"{root}/clusters", ignore_errors=True)
+    r2 = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    t2 = sorted(
+        (r.subj, r.pred, r.obj) for r in r2["triples"].select("subj", "pred", "obj").collect()
+    )
+    assert t1 == t2
+    # lineage rows exist for every stage
+    stages = {r.stage for r in r2["lineage"].select("stage").distinct().collect()}
+    assert {"facts", "cells", "postings", "resolved", "triples"} <= stages
