@@ -30,9 +30,11 @@ from mannheimsearchjoinsengine_spark.operators import (
     canonical,
     dedup,
     extract,
+    fuse,
     fuzzy,
     index,
     match,
+    multimodal,
     probe,
     profile,
     resolve,
@@ -146,6 +148,35 @@ ccells AS (
   SELECT c.*, m.pred_canon FROM cells c JOIN merge_map m ON c.pred_raw = m.pred_raw
 )
 """
+
+
+def fused_body() -> str:
+    """J6 fused long table (fuse.py twin) — appended to facts_prelude."""
+    return """,
+fused AS (
+  SELECT f.subj_norm AS query_norm, f.pred_raw, f.obj_raw, f.conv_id, f.turn_idx, f.src
+  FROM facts f
+  JOIN (SELECT DISTINCT subj_norm FROM mentions) m ON f.subj_norm = m.subj_norm
+)
+"""
+
+
+def duck_unit_case() -> tuple[str, str]:
+    """(base_value_expr, base_unit_expr) over ``cells.obj_raw`` — generated
+    from fuse.UNIT_RATES so both engines share one conversion table."""
+    lc = "lower(trim(obj_raw))"
+    num = (
+        f"try_cast(replace(regexp_extract({lc},"
+        " '^(-?[0-9][0-9,]*(\\.[0-9]+)?) ', 1), ',', '') AS DOUBLE)"
+    )
+    abbr = f"regexp_extract({lc}, ' ([a-z0-9]+)$', 1)"
+    rate = "CASE " + " ".join(
+        f"WHEN {abbr} = '{a}' THEN {r!r}" for a, (_, r) in fuse.UNIT_RATES.items()
+    ) + " END"
+    base = "CASE " + " ".join(
+        f"WHEN {abbr} = '{a}' THEN '{b}'" for a, (b, _) in fuse.UNIT_RATES.items()
+    ) + " END"
+    return f"round({num} * {rate}, 4)", base
 
 
 def postings_body() -> str:
@@ -577,9 +608,210 @@ JOIN clusters cl ON r.subj_norm = cl.subj_norm
 JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
     )
 
+    _register_fusion_queries(q, tpath)
     _register_doc_queries(q)
     _register_tpch_queries(q)
     return queries, oracles
+
+
+# --------------------------------------------------------------------------
+# fusion + cleaning queries (reference stage 4: J6/J7, P14/P15/P16, F11, J2,
+# A9, F2, F10)
+# --------------------------------------------------------------------------
+
+ALLOWED_PREDS = ["population", "pop", "employees", "founded"]
+
+
+def _fused(spark: SparkSession, sf: str) -> DataFrame:
+    return fuse.fuse_long(_mentions(spark, sf), _facts_ck(spark, sf))
+
+
+def _register_fusion_queries(q, tpath: str) -> None:
+    q(
+        "kg_fuse_long",
+        _fused,
+        facts_prelude(tpath) + fused_body() + "SELECT * FROM fused",
+    )
+
+    aug_cols = ",\n  ".join(
+        f"max(CASE WHEN pred_raw = '{p}' THEN obj_raw END) AS {p}"
+        for p in fuse.AUGMENT_PREDS
+    )
+    q(
+        "kg_fuse_augmented",
+        lambda spark, sf: fuse.fuse_augmented(_fused(spark, sf)),
+        facts_prelude(tpath)
+        + fused_body()
+        + f""",
+votes AS (
+  SELECT query_norm, pred_raw, obj_raw, count(*) AS cnt FROM fused
+  WHERE pred_raw IN ({', '.join(repr(p) for p in fuse.AUGMENT_PREDS)})
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_norm, pred_raw, obj_raw FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_norm, pred_raw
+                                 ORDER BY cnt DESC, obj_raw ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT query_norm,
+  {aug_cols}
+FROM best GROUP BY 1""",
+    )
+
+    q(
+        "kg_col_density",
+        lambda spark, sf: fuse.column_density(_fused(spark, sf)),
+        facts_prelude(tpath)
+        + fused_body()
+        + f""",
+tot AS (SELECT count(DISTINCT query_norm) AS n FROM fused)
+SELECT pred_raw, count(DISTINCT query_norm) AS n_subjects,
+       round(count(DISTINCT query_norm) / (SELECT n FROM tot), 4) AS coverage,
+       round(count(DISTINCT query_norm) / (SELECT n FROM tot), 4) >= {fuse.COLUMN_DENSITY}
+         AS kept
+FROM fused GROUP BY 1""",
+    )
+
+    q(
+        "kg_row_density",
+        lambda spark, sf: fuse.row_density(_fused(spark, sf)),
+        facts_prelude(tpath)
+        + fused_body()
+        + f""",
+tot AS (SELECT count(DISTINCT query_norm) AS n FROM fused),
+kept_preds AS (
+  SELECT pred_raw FROM fused GROUP BY 1
+  HAVING round(count(DISTINCT query_norm) / (SELECT n FROM tot), 4)
+         >= {fuse.COLUMN_DENSITY}
+),
+np AS (SELECT count(*) AS n FROM kept_preds)
+SELECT query_norm, count(DISTINCT f.pred_raw) AS n_preds,
+       round(count(DISTINCT f.pred_raw) / (SELECT n FROM np), 4) AS density,
+       round(count(DISTINCT f.pred_raw) / (SELECT n FROM np), 4) >= {fuse.ROW_DENSITY}
+         AS kept
+FROM fused f JOIN kept_preds k ON f.pred_raw = k.pred_raw
+GROUP BY 1""",
+    )
+
+    base_value, base_unit = duck_unit_case()
+    q(
+        "kg_unit_norm",
+        lambda spark, sf: fuse.unit_normalize(_cells_ck(spark, sf)),
+        cells_prelude(tpath)
+        + f"""
+SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
+       {base_value} AS base_value,
+       {base_unit} AS base_unit
+FROM cells WHERE dtype = 'unit'""",
+    )
+
+    q(
+        "kg_numeric_clean",
+        lambda spark, sf: fuse.numeric_normalize(_cells_ck(spark, sf)),
+        cells_prelude(tpath)
+        + """
+SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
+       regexp_replace(obj_raw, '[^0-9.]', '', 'g') AS obj_clean,
+       try_cast(regexp_replace(obj_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS num_value
+FROM cells WHERE dtype = 'numeric'""",
+    )
+
+    q(
+        "kg_attr_semijoin",
+        lambda spark, sf: fuse.attribute_semi_join(_facts_ck(spark, sf), ALLOWED_PREDS),
+        facts_prelude(tpath)
+        + f"""
+SELECT conv_id, count(DISTINCT pred_raw) AS n_allowed_preds,
+       count(*) AS n_allowed_cells
+FROM facts WHERE pred_raw IN ({', '.join(repr(p) for p in ALLOWED_PREDS)})
+GROUP BY 1""",
+    )
+
+    q(
+        "kg_refine_attrs",
+        lambda spark, sf: fuse.refine_attr_scores(
+            probe.probe(
+                _mentions(spark, sf), index.build_postings(_facts_ck(spark, sf))
+            ).localCheckpoint(),
+            _facts_ck(spark, sf),
+        ),
+        facts_prelude(tpath)
+        + postings_body()
+        + f""",
+pq AS (
+  SELECT subj_norm AS query_norm, unnest({duck_norm_tokens('subj_norm')}) AS token
+  FROM (SELECT DISTINCT subj_norm FROM mentions)
+),
+phits AS (
+  SELECT pq.query_norm, c.cand_norm, count(*) AS matched_tokens
+  FROM pq JOIN (SELECT DISTINCT token, subj_norm AS cand_norm FROM postings) c
+    ON pq.token = c.token GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_norm, cand_norm FROM (
+    SELECT h.*, row_number() OVER (PARTITION BY h.query_norm
+                                   ORDER BY h.matched_tokens DESC, h.cand_norm ASC)
+           AS rank
+    FROM phits h) WHERE rank <= 5
+),
+rpairs AS (SELECT DISTINCT query_norm, cand_norm FROM topk
+           WHERE query_norm <> cand_norm),
+ev AS (SELECT DISTINCT subj_norm, pred_raw, obj_raw FROM facts)
+SELECT p.query_norm, p.cand_norm, count(*) AS refine_score
+FROM rpairs p
+JOIN ev l ON l.subj_norm = p.query_norm
+JOIN ev r ON r.subj_norm = p.cand_norm
+         AND r.pred_raw = l.pred_raw AND r.obj_raw = l.obj_raw
+GROUP BY 1, 2""",
+    )
+
+    q(
+        "kg_key_distribution",
+        lambda spark, sf: fuse.key_distribution(_facts_ck(spark, sf)),
+        facts_prelude(tpath)
+        + """
+SELECT subj_norm, count(DISTINCT conv_id) AS n_convs,
+       count(DISTINCT pred_raw) AS n_preds,
+       count(DISTINCT obj_raw) AS n_values, count(*) AS n_facts
+FROM facts GROUP BY 1""",
+    )
+
+    q(
+        "kg_label_pairs",
+        lambda spark, sf: match.label_pair_scores(_facts_ck(spark, sf)),
+        facts_prelude(tpath)
+        + """,
+preds AS (SELECT DISTINCT pred_raw FROM facts)
+SELECT a.pred_raw AS pred1, b.pred_raw AS pred2,
+       levenshtein(a.pred_raw, b.pred_raw) AS lev,
+       round(1 - levenshtein(a.pred_raw, b.pred_raw)
+               / greatest(length(a.pred_raw), length(b.pred_raw)), 4) AS label_sim
+FROM preds a JOIN preds b ON a.pred_raw < b.pred_raw
+WHERE levenshtein(a.pred_raw, b.pred_raw) <= 3""",
+    )
+
+    q(
+        "kg_date_parse",
+        lambda spark, sf: _cells_ck(spark, sf)
+        .filter(F.col("dtype") == "date")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "subj_norm",
+            "pred_raw",
+            "obj_raw",
+            resolve.parse_any_date(F.col("obj_raw")).cast("string").alias("iso_date"),
+        ),
+        cells_prelude(tpath)
+        + """
+SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
+       CAST(CAST(coalesce(try_strptime(obj_raw, '%m/%d/%Y'),
+                          try_strptime(obj_raw, '%Y-%m-%d'),
+                          try_strptime(obj_raw, '%d.%m.%Y')) AS DATE) AS VARCHAR)
+         AS iso_date
+FROM cells WHERE dtype = 'date'""",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -633,12 +865,16 @@ SELECT doc1, doc2, shared, jaccard, rn FROM (
         f"SELECT doc, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS bucket FROM sig"
         for b in range(4)
     )
+    shingle3 = """CASE WHEN len(tk) >= 3
+         THEN list_transform(generate_series(1, len(tk) - 2),
+                             i -> array_to_string(tk[i:i+2], ' '))
+         ELSE [] END"""
     q(
         "doc_minhash_lsh",
         lambda spark, sf: dedup.minhash_lsh_pairs(load_table(spark, sf, "documents")),
         f"""
 WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
-sh AS (SELECT DISTINCT doc_id AS doc, unnest(tk) AS shingle FROM d),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest({shingle3}) AS shingle FROM d),
 sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc),
 bands AS ({bands}),
 cand AS (
@@ -768,6 +1004,53 @@ WHERE {cos} >= 0.9""",
             load_table(spark, sf, "embeddings"),
             load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
         ),
+    )
+
+    # ---- multimodal: binary payload + Arrow-batched decode plumbing ----
+    # (deterministic fake decode — the text bytes ARE the payload, so DuckDB
+    # can mirror every feature; the corpus is ASCII so chars == bytes)
+    byte_sum = (
+        "CAST(list_aggregate(list_transform("
+        "generate_series(1, CAST(length({c}) AS INT)), "
+        "i -> ascii(substr({c}, i, 1))), 'sum') AS BIGINT)"
+    )
+    q(
+        "mm_payload_stats",
+        lambda spark, sf: multimodal.payload_features(
+            multimodal.with_payload(load_table(spark, sf, "documents"))
+        ),
+        f"""
+SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       ascii(substr(text, length(text), 1)) AS last_byte,
+       {byte_sum.format(c='text')} AS byte_sum,
+       CAST(length(text) % 640 AS INT) AS fake_width,
+       CAST((length(text) * 7) % 480 AS INT) AS fake_height
+FROM documents""",
+    )
+
+    q(
+        "mm_frame_sample",
+        lambda spark, sf: multimodal.frame_sample(
+            multimodal.with_payload(load_table(spark, sf, "documents"))
+        ),
+        f"""
+WITH b AS (SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents),
+frames AS (
+  SELECT doc_id, text, unnest(list_filter(
+    generate_series(0, CAST(ceil(n / {multimodal.FRAME_BYTES}.0) AS INT) - 1),
+    i -> i % 4 = 0)) AS frame_idx
+  FROM b
+),
+c AS (
+  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         substr(text, CAST(frame_idx * {multimodal.FRAME_BYTES} + 1 AS INT),
+                {multimodal.FRAME_BYTES}) AS chunk
+  FROM frames
+)
+SELECT doc_id, frame_idx, CAST(length(chunk) AS INT) AS frame_len,
+       {byte_sum.format(c='chunk')} AS frame_sum
+FROM c""",
     )
 
 

@@ -103,15 +103,22 @@ def minhash_lsh_pairs(
     tau: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-jaccard verification.
 
-    Signatures: sig_j = min over token shingles of md5(j || ':' || shingle)
-    (first 16 hex chars; lexicographic min ≡ numeric min for fixed-width
-    lowercase hex — reproducible in DuckDB for the oracle). Banding with
-    ``n_hashes/band_size`` bands; pairs sharing any band are candidates and
-    are then verified with exact token-set jaccard ≥ τ."""
-    sets = _token_sets(docs, text_col, id_col, 1)
+    Signatures: sig_j = min over word-``shingle_n``-gram shingles of
+    md5(j || ':' || shingle) (first 16 hex chars; lexicographic min ≡
+    numeric min for fixed-width lowercase hex — reproducible in DuckDB for
+    the oracle). Banding with ``n_hashes/band_size`` bands; pairs sharing
+    any band are candidates, then verified with exact shingle-set jaccard
+    ≥ τ.
+
+    Shingles must be n-grams (n ≥ 3), NOT unigrams: over a small
+    vocabulary, unigram sets make nearly all documents collide and the pair
+    output degenerates to O(n²) — measured 8.5M pairs / 288 s at sf0.1
+    before this fix vs bounded output after."""
+    sets = _token_sets(docs, text_col, id_col, shingle_n)
     aggs = [
         F.min(
             F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)

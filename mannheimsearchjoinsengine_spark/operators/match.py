@@ -114,3 +114,32 @@ def apply_pred_merge(cells: DataFrame, merge_map: DataFrame) -> DataFrame:
     return cells.join(F.broadcast(merge_map), "pred_raw").withColumn(
         "pred_canon", F.col("pred_canon")
     )
+
+
+def label_pair_scores(cells: DataFrame, max_lev: int = 3) -> DataFrame:
+    """F2/W4 — label-based duplicate detection: predicate-name similarity by
+    Levenshtein distance (``schemamatching/label/LabelBasedComparer.
+    matchTwoLists:326-336``; the WordNet layers F7/F8 are optional plug-ins
+    the reference ships disabled, ``searchJoins.conf:67-69``).
+
+    sim = 1 − lev/max(len) (the classic normalized edit similarity). The
+    candidate space is the distinct-predicate set — schema-sized, i.e. tiny
+    versus the data, so the pair generation is a broadcast self-join; at a
+    genuinely huge schema the prefix-bucket blocking used for labels in
+    fuzzy.py applies verbatim.
+    """
+    preds = cells.select("pred_raw").distinct()
+    p1 = preds.select(F.col("pred_raw").alias("pred1"))
+    p2 = preds.select(F.col("pred_raw").alias("pred2"))
+    pairs = p1.join(F.broadcast(p2), F.col("pred1") < F.col("pred2"))
+    lev = F.levenshtein(F.col("pred1"), F.col("pred2"))
+    return (
+        pairs.withColumn("lev", lev)
+        .filter(F.col("lev") <= max_lev)
+        .withColumn(
+            "label_sim",
+            F.round(
+                1 - F.col("lev") / F.greatest(F.length("pred1"), F.length("pred2")), 4
+            ),
+        )
+    )

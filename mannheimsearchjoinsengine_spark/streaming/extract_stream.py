@@ -1,0 +1,101 @@
+"""Structured Streaming ingestion of transcript turns.
+
+The reference is strictly batch (SURVEY.md §2.9) — its producer/consumer
+queues are intra-process pipelining, not stream semantics. This module adds
+the Spark-native streaming story a transcript corpus actually needs: new
+conversation files land continuously; extraction is incremental.
+
+Two patterns:
+
+* ``run_streaming_extraction`` — file-source stream → ``foreachBatch`` →
+  the SAME batch ``extract_facts`` plan (single source of truth for the
+  extraction grammar; ``extract_tool_facts`` uses a per-turn window which
+  streaming forbids outside foreachBatch) → append parquet sink. Trigger
+  ``availableNow`` processes the backlog then stops — the batch/stream
+  parity test compares the result set to the one-shot batch run.
+* ``windowed_turn_counts`` — event-time tumbling-window counts with a
+  watermark for late data: the always-on monitoring aggregate of the
+  ingest (state store bounded by the watermark).
+
+Checkpoint location makes both resumable — the streaming twin of the
+pipeline's stage ledger.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
+from mannheimsearchjoinsengine_spark.operators.extract import extract_facts
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the transcript directory (new parquet files
+    are discovered incrementally; schema is explicit — required for
+    streaming file sources)."""
+    path = ensure_transcripts(sf_dir)
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(os.path.dirname(path))
+    )
+
+
+def run_streaming_extraction(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental fact extraction: backlog → availableNow → parquet sink.
+
+    foreachBatch reuses the exact batch extraction plan per micro-batch, so
+    streaming and batch cannot drift; the sink append is idempotent per
+    epoch via the checkpoint."""
+    src = transcript_stream(spark, sf_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        extract_facts(batch_df).write.mode("append").parquet(out_dir)
+
+    (
+        src.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_turn_counts(stream: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling-window turn counts per role with a 1-hour
+    watermark — late turns beyond the watermark are dropped, state is
+    bounded. Works under any trigger including availableNow."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )

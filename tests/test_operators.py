@@ -139,3 +139,51 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     ls = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, qs, k=5).collect()}
     recall = len(bf & ls) / len(bf)
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_unit_conversion_goldens(spark):
+    from mannheimsearchjoinsengine_spark.operators.fuse import split_unit, to_base_unit
+
+    df = spark.createDataFrame(
+        [("500 km2",), ("180 cm",), ("12 MUSD",), ("1,250 kg",), ("3.5 km",)],
+        ["v"],
+    )
+    num, abbr = split_unit(F.col("v"))
+    bv, bu = to_base_unit(num, abbr)
+    got = {r.v: (r.bv, r.bu) for r in df.select("v", bv.alias("bv"), bu.alias("bu")).collect()}
+    assert got["500 km2"] == (500_000_000.0, "m2")
+    assert got["180 cm"] == (1.8, "m")
+    assert got["12 MUSD"] == (12_000_000.0, "usd")
+    assert got["1,250 kg"] == (1250.0, "kg")
+    assert got["3.5 km"] == (3500.0, "m")
+
+
+def test_clean_numeric_multidot(spark):
+    from mannheimsearchjoinsengine_spark.operators.fuse import clean_numeric
+
+    df = spark.createDataFrame(
+        [("1,234",), ("$3.14",), ("1.2.3",), ("abc12de.5",)], ["v"]
+    )
+    got = {r.v: r.c for r in df.select("v", clean_numeric(F.col("v")).alias("c")).collect()}
+    # reference P15: strip non-[0-9.], collapse all dots but the last
+    # (TableDataCleaner.normalizeColumnNumeric:167-180)
+    assert got["1,234"] == "1234"
+    assert got["$3.14"] == "3.14"
+    assert got["1.2.3"] == "12.3"
+    assert got["abc12de.5"] == "12.5"
+
+
+def test_density_thresholds(spark):
+    from mannheimsearchjoinsengine_spark.operators.fuse import column_density, row_density
+
+    # 3 subjects; predicate p_all on every subject, p_one on a single one
+    fused = spark.createDataFrame(
+        [("s1", "p_all", "x"), ("s2", "p_all", "y"), ("s3", "p_all", "z"),
+         ("s1", "p_one", "w")],
+        ["query_norm", "pred_raw", "obj_raw"],
+    )
+    cd = {r.pred_raw: (r.coverage, r.kept) for r in column_density(fused).collect()}
+    assert cd["p_all"] == (1.0, True)
+    assert cd["p_one"] == (0.3333, True)  # 1/3 >= 0.3
+    rd = {r.query_norm: r.kept for r in row_density(fused).collect()}
+    assert rd == {"s1": True, "s2": True, "s3": True}

@@ -1,0 +1,90 @@
+"""Streaming extraction parity + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mannheimsearchjoinsengine_spark.operators import multimodal
+from mannheimsearchjoinsengine_spark.operators.extract import extract_facts
+from mannheimsearchjoinsengine_spark.sources.transcripts import load_table, load_transcripts
+from mannheimsearchjoinsengine_spark.streaming.extract_stream import (
+    run_streaming_extraction,
+    transcript_stream,
+    windowed_turn_counts,
+)
+
+
+def test_streaming_extraction_matches_batch(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "facts_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_extraction(spark, sf_dir, out, ckpt)
+    streamed = spark.read.parquet(out)
+    batch = extract_facts(load_transcripts(spark, sf_dir))
+    cols = ["conv_id", "turn_idx", "src", "pred_raw", "subj_surface", "obj_raw"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    q = (
+        windowed_turn_counts(transcript_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM win_counts")
+    want = (
+        load_transcripts(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_multimodal_payload_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    feats = multimodal.payload_features(multimodal.with_payload(docs))
+    rows = {r.doc_id: r for r in feats.collect()}
+    for d in docs.collect():
+        b = d.text.encode("utf-8")
+        r = rows[d.doc_id]
+        assert r.n_bytes == len(b)
+        assert r.first_byte == b[0]
+        assert r.last_byte == b[-1]
+        assert r.byte_sum == sum(b)
+        assert r.fake_width == len(b) % 640
+        assert r.fake_height == (len(b) * 7) % 480
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    frames = multimodal.frame_sample(multimodal.with_payload(docs), every_n=4)
+    got = [(r.doc_id, r.frame_idx, r.frame_len, r.frame_sum) for r in frames.collect()]
+    want = []
+    FB = multimodal.FRAME_BYTES
+    for d in docs.collect():
+        b = d.text.encode("utf-8")
+        for fi in range(0, (len(b) + FB - 1) // FB, 4):
+            chunk = b[fi * FB : (fi + 1) * FB]
+            want.append((d.doc_id, fi, len(chunk), sum(chunk)))
+    assert sorted(got) == sorted(want)
+
+
+def test_multimodal_real_codecs_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
