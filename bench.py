@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# KG_ONLY=1: time only the transcript pipeline (used by the scaling evidence
+# at synthesized scales like sf2 = 2M turns, where no TPC-H testdata exists)
+KG_ONLY = os.environ.get("SPARK_GRAFT_KG_ONLY", "0") == "1"
 
 
 def main() -> None:
@@ -50,24 +53,51 @@ def main() -> None:
     # warm the JVM + generate transcripts outside the timed region
     n_turns = turns_for_tag(sf_tag_of_dir(SF_DIR))
     queries["kg_turns"](spark, SF_DIR).count()
+    reps = []
+    if KG_ONLY:
+        # Scaling evidence measures steady-state throughput: one untimed
+        # warm-up run amortizes whole-stage-codegen JIT compilation (worth
+        # 30-60 s on the first pipeline execution in a fresh JVM, at any
+        # core count). The sandbox host has transient background load
+        # (observed 73-222 s for identical warm runs), so take the MIN of
+        # three timed reps — the interference-free estimate.
+        import gc
 
-    t0 = time.time()
-    triples = run_pipeline(spark, SF_DIR)["triples"]
-    n_triples = triples.count()
-    pipeline_s = round(time.time() - t0, 3)
+        warm = run_pipeline(spark, SF_DIR)["triples"]
+        warm.count()
+        del warm
+        gc.collect()
+        n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    else:
+        n_reps = 1
+
+    n_triples = 0
+    for i in range(n_reps):
+        t0 = time.time()
+        triples = run_pipeline(spark, SF_DIR)["triples"]
+        n_triples = triples.count()
+        reps.append(round(time.time() - t0, 3))
+        print(f"# kg_pipeline rep{i}: {reps[-1]}s ({n_triples} triples)",
+              file=sys.stderr, flush=True)
+        if n_reps > 1:
+            import gc
+
+            del triples
+            gc.collect()
+    pipeline_s = min(reps)
     timings["kg_pipeline"] = pipeline_s
-    print(f"# kg_pipeline: {pipeline_s}s ({n_triples} triples)", file=sys.stderr, flush=True)
 
-    for name in (
-        "kg_probe_topk",
-        "kg_join_results",
-        "kg_resolve_voting",
-        "doc_minhash_lsh",
-        "doc_ngram_jaccard_top",
-        "emb_cosine_topk",
-        "tpch_pricing_summary",
-    ):
-        timed(name, lambda name=name: queries[name](spark, SF_DIR).count())
+    if not KG_ONLY:
+        for name in (
+            "kg_probe_topk",
+            "kg_join_results",
+            "kg_resolve_voting",
+            "doc_minhash_lsh",
+            "doc_ngram_jaccard_top",
+            "emb_cosine_topk",
+            "tpch_pricing_summary",
+        ):
+            timed(name, lambda name=name: queries[name](spark, SF_DIR).count())
 
     out = {
         "metric": "kg_pipeline_wall_clock",
@@ -79,6 +109,7 @@ def main() -> None:
         "n_turns": n_turns,
         "n_triples": n_triples,
         "turns_per_sec": round(n_turns / pipeline_s, 1),
+        "pipeline_reps_s": reps,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -48,7 +48,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATAGEN_VERSION = 3  # bump when the grammar changes → regenerates caches
+DATAGEN_VERSION = 4  # bump when the grammar changes → regenerates caches
+# Small row groups so Spark can split the single parquet file into many scan
+# tasks (a 1M-row default row group caps scan parallelism at ~2 tasks).
+ROW_GROUP_SIZE = 50_000
 REPO_DATA = os.environ.get("SJSPARK_DATA_DIR", "/root/repo/data/transcripts")
 EPOCH = datetime(2026, 1, 1, 0, 0, 0)
 TICK_SECONDS = 37
@@ -254,7 +257,7 @@ def ensure_transcripts(sf_dir: str) -> str:
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
     os.close(fd)
     try:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, row_group_size=ROW_GROUP_SIZE)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):

@@ -609,9 +609,152 @@ JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
     )
 
     _register_fusion_queries(q, tpath)
+    _register_scoring_queries(q, tpath)
     _register_doc_queries(q)
     _register_tpch_queries(q)
     return queries, oracles
+
+
+# --------------------------------------------------------------------------
+# scoring + similarity queries (F1, F3, F13, W2, ScoreEvaluator modes)
+# --------------------------------------------------------------------------
+
+def _register_scoring_queries(q, tpath: str) -> None:
+    from mannheimsearchjoinsengine_spark.functions import similarity as S
+
+    q(
+        "kg_score_ranking",
+        lambda spark, sf: probe.score_join_results(
+            _mentions(spark, sf),
+            _facts_ck(spark, sf),
+            index.build_postings(_facts_ck(spark, sf)).localCheckpoint(),
+        ),
+        facts_prelude(tpath)
+        + postings_body()
+        + f""",
+nlab AS (SELECT count(DISTINCT subj_norm) AS n FROM postings),
+idf AS (SELECT token, ln((SELECT n FROM nlab) / count(DISTINCT subj_norm)) AS idf
+        FROM postings GROUP BY token),
+mkeys AS (SELECT DISTINCT subj_norm FROM mentions),
+ktoks AS (SELECT subj_norm, unnest({duck_norm_tokens('subj_norm')}) AS token FROM mkeys),
+kscore AS (SELECT k.subj_norm, sum(i.idf) AS key_score
+           FROM ktoks k JOIN idf i ON k.token = i.token GROUP BY 1),
+rcard AS (SELECT conv_id, count(*) AS right_card FROM facts GROUP BY 1),
+matched AS (
+  SELECT f.conv_id, count(DISTINCT f.subj_norm) AS matched_keys,
+         sum(s.key_score) AS total_score
+  FROM facts f JOIN kscore s ON f.subj_norm = s.subj_norm GROUP BY 1
+),
+ld AS (SELECT count(DISTINCT subj_norm) AS n FROM mentions),
+sc AS (SELECT max(total_score) AS max_score, max(matched_keys) AS max_joins FROM matched)
+SELECT m.conv_id, m.matched_keys, r.right_card,
+  round(m.total_score, 4) AS total_score,
+  round(m.matched_keys * (m.total_score / m.matched_keys) / (SELECT n FROM ld), 4)
+    AS rank_query_cov,
+  round(m.matched_keys * (m.total_score / m.matched_keys) / r.right_card, 4)
+    AS rank_entity_cov,
+  round(m.matched_keys * (m.total_score / m.matched_keys) / r.right_card, 4)
+    AS rank_query_entity_sum,
+  round((m.total_score /
+         CASE WHEN m.matched_keys < 0.3 * (SELECT n FROM ld)
+              THEN (SELECT n FROM ld) ELSE m.matched_keys END)
+        / ((SELECT max_score FROM sc) / (SELECT max_joins FROM sc)), 4)
+    AS rank_normalized
+FROM matched m JOIN rcard r ON m.conv_id = r.conv_id""",
+    )
+
+    q(
+        "kg_char_jaccard",
+        lambda spark, sf: fuzzy.fuzzy_self_pairs(
+            _facts_ck(spark, sf).select("subj_norm")
+        ).select(
+            "left_key",
+            "right_key",
+            S.char_jaccard(F.col("left_key"), F.col("right_key")).alias("char_jaccard"),
+        ),
+        facts_prelude(tpath)
+        + f""",
+lbl AS (SELECT DISTINCT subj_norm FROM facts),
+tok AS (
+  SELECT subj_norm AS key, len({duck_norm_tokens('subj_norm')}) AS ntok,
+         unnest({duck_norm_tokens('subj_norm')}) AS token
+  FROM lbl
+),
+tpairs AS (
+  SELECT DISTINCT a.key AS left_key, a.ntok AS ln_, b.key AS right_key,
+         b.ntok AS rn_, a.token
+  FROM tok a JOIN tok b ON a.token = b.token
+),
+agg AS (
+  SELECT left_key, right_key, ln_, rn_, count(*) AS shared_tokens
+  FROM tpairs GROUP BY 1, 2, 3, 4
+)
+SELECT left_key, right_key,
+       {S.duck_char_jaccard('left_key', 'right_key')} AS char_jaccard
+FROM agg
+WHERE round(shared_tokens / (ln_ + rn_ - shared_tokens), 4) >= 0.5
+  AND left_key < right_key""",
+    )
+
+    q(
+        "kg_domains",
+        lambda spark, sf: _cells_ck(spark, sf)
+        .filter(F.col("dtype") == "link")
+        .select(
+            "subj_norm",
+            "pred_raw",
+            "obj_raw",
+            F.regexp_extract("obj_raw", r"^https?://(?:www\.)?([^/]+)", 1).alias("host"),
+        )
+        .withColumn("tld", F.regexp_extract("host", r"\.([a-z0-9-]+)$", 1))
+        .withColumn(
+            "registered_domain",
+            F.regexp_extract("host", r"([a-z0-9-]+\.[a-z0-9-]+)$", 1),
+        ),
+        cells_prelude(tpath)
+        + """
+SELECT subj_norm, pred_raw, obj_raw,
+       regexp_extract(obj_raw, '^https?://(?:www\\.)?([^/]+)', 1) AS host,
+       regexp_extract(regexp_extract(obj_raw, '^https?://(?:www\\.)?([^/]+)', 1),
+                      '\\.([a-z0-9-]+)$', 1) AS tld,
+       regexp_extract(regexp_extract(obj_raw, '^https?://(?:www\\.)?([^/]+)', 1),
+                      '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS registered_domain
+FROM cells WHERE dtype = 'link'""",
+    )
+
+    q(
+        "kg_value_sim",
+        lambda spark, sf: _cells_ck(spark, sf)
+        .filter(F.col("dtype") == "numeric")
+        .select(
+            "subj_norm",
+            "pred_raw",
+            F.regexp_replace(F.trim("obj_raw"), ",", "").try_cast("double").alias("num"),
+        )
+        .groupBy("subj_norm", "pred_raw")
+        .agg(
+            F.min("num").alias("v_min"),
+            F.max("num").alias("v_max"),
+            F.countDistinct("num").alias("n_distinct"),
+        )
+        .filter(F.col("n_distinct") >= 2)
+        .withColumn("num_sim", S.numeric_similarity(F.col("v_min"), F.col("v_max"))),
+        cells_prelude(tpath)
+        + f""",
+nums AS (
+  SELECT subj_norm, pred_raw,
+         try_cast(replace(trim(obj_raw), ',', '') AS DOUBLE) AS num
+  FROM cells WHERE dtype = 'numeric'
+),
+agg2 AS (
+  SELECT subj_norm, pred_raw, min(num) AS v_min, max(num) AS v_max,
+         count(DISTINCT num) AS n_distinct
+  FROM nums GROUP BY 1, 2
+)
+SELECT subj_norm, pred_raw, v_min, v_max, n_distinct,
+       {S.duck_numeric_similarity('v_min', 'v_max')} AS num_sim
+FROM agg2 WHERE n_distinct >= 2""",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1123,6 +1266,41 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2""",
+    )
+
+    q(
+        "tpch_key_identification",
+        lambda spark, sf: profile.identify_key(load_table(spark, sf, "customer")),
+        """
+WITH long AS (
+  SELECT 'c_name' AS col_name, c_name AS value FROM customer
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+),
+mult AS (
+  SELECT col_name, value, count(*) AS mult, avg(length(value)) AS len_
+  FROM long WHERE value IS NOT NULL GROUP BY 1, 2
+),
+stats AS (
+  SELECT col_name,
+    round(sum(CASE WHEN mult = 1 THEN 1 ELSE 0 END) / sum(mult), 4) AS uniqueness,
+    round(sum(len_ * mult) / sum(mult), 4) AS avg_len,
+    round(1 - sum(mult) / (SELECT count(*) FROM customer), 4) AS null_frac
+  FROM mult GROUP BY 1
+),
+flags AS (
+  SELECT *,
+    (avg_len >= 3 AND avg_len <= 50 AND null_frac <= 0.02 AND uniqueness >= 0.6)
+      AS eligible,
+    CASE WHEN lower(col_name) LIKE '%name%'
+           OR (lower(col_name) LIKE '%label%'
+               AND lower(col_name) NOT LIKE '%\\_label%')
+         THEN 1 ELSE 0 END AS priority
+  FROM stats
+)
+SELECT col_name, uniqueness, avg_len, null_frac, eligible,
+  (row_number() OVER (ORDER BY CAST(eligible AS INT) DESC, priority DESC,
+                      uniqueness DESC, col_name ASC) = 1 AND eligible) AS is_key
+FROM flags""",
     )
 
     q(

@@ -46,11 +46,18 @@ def display_form(col):
 def exact_clusters(facts: DataFrame) -> DataFrame:
     """Tier 1: norm_key → canonical display label (lexicographic min over
     member display forms). Returns (subj_norm, canonical_label, n_surfaces,
-    n_occurrences)."""
-    return facts.groupBy("subj_norm").agg(
+    n_occurrences).
+
+    Two-level agg: dedupe to (subj_norm, subj_surface) FIRST (map-side
+    partial agg), then run the display regexes on the few-hundred-row
+    surface set — not on every occurrence row."""
+    per_surface = facts.groupBy("subj_norm", "subj_surface").agg(
+        F.count("*").alias("n_occ")
+    )
+    return per_surface.groupBy("subj_norm").agg(
         F.min(display_form(F.col("subj_surface"))).alias("canonical_label"),
-        F.countDistinct("subj_surface").alias("n_surfaces"),
-        F.count("*").alias("n_occurrences"),
+        F.count("*").alias("n_surfaces"),
+        F.sum("n_occ").alias("n_occurrences"),
     )
 
 

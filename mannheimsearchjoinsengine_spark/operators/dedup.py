@@ -67,8 +67,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Top near-dup pairs by word-n-gram Jaccard (F1 analog at doc scale;
     char n-gram variant of ``InstanceBasedComparer.java:553-560`` is in
-    functions/similarity.py). Deterministic top-N by (jaccard desc, ids)."""
-    sets = _token_sets(docs, text_col, id_col, n)
+    functions/similarity.py). Deterministic top-N by (jaccard desc, ids).
+    ``sets`` feeds three branches → materialize once (see minhash note)."""
+    sets = _token_sets(docs, text_col, id_col, n).localCheckpoint()
     sizes = sets.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sets.select(F.col("doc").alias("doc1"), "shingle")
     b = sets.select(F.col("doc").alias("doc2"), "shingle")
@@ -117,8 +118,16 @@ def minhash_lsh_pairs(
     Shingles must be n-grams (n ≥ 3), NOT unigrams: over a small
     vocabulary, unigram sets make nearly all documents collide and the pair
     output degenerates to O(n²) — measured 8.5M pairs / 288 s at sf0.1
-    before this fix vs bounded output after."""
-    sets = _token_sets(docs, text_col, id_col, shingle_n)
+    before this fix vs bounded output after.
+
+    Plan shape: ``sets`` and ``sig`` are each consumed by several branches
+    (banding, both sides of the candidate self-join, verification) —
+    materialize them once (localCheckpoint; a checkpoint table on a real
+    cluster) instead of letting Spark recompute the explode+agg subtree per
+    branch: that recomputation was 98 s at sf0.1, ~6 s after. Banding is an
+    explode of a literal struct array — one pass over ``sig``, not one
+    union branch per band."""
+    sets = _token_sets(docs, text_col, id_col, shingle_n).localCheckpoint()
     aggs = [
         F.min(
             F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
@@ -126,13 +135,22 @@ def minhash_lsh_pairs(
         for j in range(n_hashes)
     ]
     sig = sets.groupBy("doc").agg(*aggs)
-    bands = None
-    for b in range(n_hashes // band_size):
-        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-        part = sig.select(
-            "doc", F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bucket")
-        )
-        bands = part if bands is None else bands.union(part)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                ).alias("bucket"),
+            )
+            for b in range(n_hashes // band_size)
+        ]
+    )
+    bands = (
+        sig.select("doc", F.explode(band_arr).alias("bb"))
+        .select("doc", "bb.band", "bb.bucket")
+        .localCheckpoint()
+    )
     l = bands.select("band", "bucket", F.col("doc").alias("doc1"))
     r = bands.select("band", "bucket", F.col("doc").alias("doc2"))
     cand = (

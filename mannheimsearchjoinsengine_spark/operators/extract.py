@@ -19,7 +19,7 @@ over the scan: no shuffle, scales linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mannheimsearchjoinsengine_spark.functions.normalize import norm_key
@@ -45,24 +45,27 @@ def extract_assistant_facts(df: DataFrame) -> DataFrame:
 
 
 def extract_tool_facts(df: DataFrame) -> DataFrame:
-    t = df.filter(F.col("role") == "tool")
+    """Tool-turn facts. The turn's subject is its ``entity=`` pair —
+    extracted with an anchored regexp BEFORE the kv explode, so the whole
+    extraction is a narrow map over the scan (the earlier window over
+    (conv_id, turn_idx) shuffled every exploded kv row; at 2M turns that
+    shuffle was the bulk of the extract stage)."""
+    t = df.filter(F.col("role") == "tool").withColumn(
+        "subj_surface", F.regexp_extract("text", r"(?:^|; )entity=([^;]*)(?:;|$)", 1)
+    )
     kv = t.select(
         "conv_id",
         "turn_idx",
         "ts",
-        F.posexplode(F.split("text", "; ")).alias("kv_idx", "kv"),
+        "subj_surface",
+        F.explode(F.split("text", "; ")).alias("kv"),
     ).select(
         "conv_id",
         "turn_idx",
         "ts",
+        "subj_surface",
         F.split_part(F.col("kv"), F.lit("="), F.lit(1)).alias("k"),
         F.split_part(F.col("kv"), F.lit("="), F.lit(2)).alias("v"),
-    )
-    # subject = the turn's `entity=` pair; window over (conv_id, turn_idx)
-    # stays within a partition when the scan is conv_id-bucketed.
-    w = Window.partitionBy("conv_id", "turn_idx")
-    kv = kv.withColumn(
-        "subj_surface", F.max(F.when(F.col("k") == "entity", F.col("v"))).over(w)
     )
     return kv.filter(F.col("k") != "entity").select(
         "conv_id",

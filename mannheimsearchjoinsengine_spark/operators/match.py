@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 def pred_pair_scores(cells: DataFrame) -> DataFrame:
     """A3 — per predicate pair: shared distinct (subj,obj) evidence count +
     jaccard of pair-sets. Only pairs sharing ≥1 (subj,obj) are generated."""
-    ev = cells.select("pred_raw", "subj_norm", "obj_raw").distinct()
+    # ev feeds three branches (sizes, both join sides) and the merge map —
+    # materialize the distinct once (output is schema×entity-sized, tiny)
+    # instead of re-running the full-corpus distinct per branch.
+    ev = cells.select("pred_raw", "subj_norm", "obj_raw").distinct().localCheckpoint()
     sizes = ev.groupBy("pred_raw").agg(F.count("*").alias("n_pairs"))
     e1 = ev.select(
         F.col("pred_raw").alias("pred1"), "subj_norm", "obj_raw"
@@ -74,7 +77,7 @@ def pred_merge_map(cells: DataFrame, tau: float = 0.7, min_shared: int = 2) -> D
     Output has one row per predicate (identity rows included) so downstream
     can plain-join on pred_raw.
     """
-    scores = pred_pair_scores(cells).filter(
+    scores = pred_pair_scores(cells).localCheckpoint().filter(
         (F.col("containment") >= tau) & (F.col("shared") >= min_shared)
     )
     edges = scores.select(

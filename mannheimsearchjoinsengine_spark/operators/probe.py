@@ -97,6 +97,108 @@ def join_results(mentions: DataFrame, facts: DataFrame, top_n: int = 100) -> Dat
     )
 
 
+def score_join_results(
+    mentions: DataFrame, facts: DataFrame, postings: DataFrame
+) -> DataFrame:
+    """All four ScoreEvaluator ranking modes over JoinResults
+    (``scoring/ScoreEvaluator.assessJoinResult``,
+    ``scoring/ScoreEvaluator.java:48-105``; mode enum from
+    ``searchJoins.conf`` ``ranking.type``).
+
+    The Lucene-score analog per matched key is its IDF mass:
+    Σ_tokens ln(n_labels / df(token)) over the key's index tokens — the
+    same quantity Lucene's TF-IDF reduces to for our exact one-term-per-doc
+    postings. Modes:
+
+    * ``rank_query_cov``    — count·avgScore / leftDistinct (queryTableCoverage)
+    * ``rank_entity_cov``   — count·avgScore / rightCardinality (entityTableCoverage)
+    * ``rank_query_entity_sum`` — the reference computes the sum THEN
+      overwrites it with the entity-coverage term (dead store,
+      ``ScoreEvaluator.java:62-66``) — replicated, not fixed.
+    * ``rank_normalized``   — myScore/bestScore with the <30%-matched
+      penalty (joinPairs := leftCardinality when count < 0.3·leftCard,
+      ``ScoreEvaluator.java:89-99``); bestScore = maxScore/maxJoins is the
+      reference's cross-result normalizer (W2, ``SearchJoin.java:204-223``)
+      — a scalar agg broadcast back, not a global window over rows.
+    """
+    n_labels = postings.select("subj_norm").distinct().count()
+    idf = (
+        postings.groupBy("token")
+        .agg(F.countDistinct("subj_norm").alias("df_labels"))
+        .select("token", F.log(F.lit(float(n_labels)) / F.col("df_labels")).alias("idf"))
+    )
+    key_scores = (
+        mentions.select("subj_norm")
+        .distinct()
+        .select("subj_norm", F.explode(norm_tokens(F.col("subj_norm"))).alias("token"))
+        .join(idf, "token")
+        .groupBy("subj_norm")
+        .agg(F.sum("idf").alias("key_score"))
+    )
+    left_distinct = mentions.select("subj_norm").distinct().count()
+    right = facts.groupBy("conv_id").agg(F.count("*").alias("right_card"))
+    matched = (
+        F.broadcast(key_scores)
+        .join(facts.select("subj_norm", "conv_id"), "subj_norm")
+        .groupBy("conv_id")
+        .agg(
+            F.countDistinct("subj_norm").alias("matched_keys"),
+            F.sum("key_score").alias("total_score"),
+        )
+        .join(right, "conv_id")
+    )
+    scalars = matched.agg(
+        F.max("total_score").alias("max_score"), F.max("matched_keys").alias("max_joins")
+    )
+    jr = matched.crossJoin(F.broadcast(scalars))
+    avg_score = F.col("total_score") / F.col("matched_keys")
+    join_pairs = F.when(
+        F.col("matched_keys") < 0.3 * F.lit(left_distinct), F.lit(left_distinct)
+    ).otherwise(F.col("matched_keys"))
+    best_score = F.col("max_score") / F.col("max_joins")
+    return jr.select(
+        "conv_id",
+        "matched_keys",
+        "right_card",
+        F.round("total_score", 4).alias("total_score"),
+        F.round(F.col("matched_keys") * avg_score / F.lit(left_distinct), 4).alias(
+            "rank_query_cov"
+        ),
+        F.round(F.col("matched_keys") * avg_score / F.col("right_card"), 4).alias(
+            "rank_entity_cov"
+        ),
+        # dead-store replica: final value == entity coverage
+        F.round(F.col("matched_keys") * avg_score / F.col("right_card"), 4).alias(
+            "rank_query_entity_sum"
+        ),
+        F.round((F.col("total_score") / join_pairs) / best_score, 4).alias(
+            "rank_normalized"
+        ),
+    )
+
+
+def evaluate_vs_gold(ranked: DataFrame, gold: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Gold-standard evaluation (``statistics/SearchTableResultAnalyzer.
+    analyzeResult:236+``, ``getPrecision:139-160``; gold files built by
+    ``utils/GoldStandardBuilder.java:70-130``): precision/recall of the
+    retrieved candidate set vs the gold set. One-row metrics DataFrame via
+    a full outer join — no collect."""
+    r = ranked.select(key).distinct().withColumn("in_r", F.lit(1))
+    g = gold.select(key).distinct().withColumn("in_g", F.lit(1))
+    both = r.join(g, key, "full_outer")
+    return both.agg(
+        F.sum("in_r").alias("n_retrieved"),
+        F.sum("in_g").alias("n_gold"),
+        F.sum(F.col("in_r") * F.col("in_g")).alias("n_correct"),
+    ).select(
+        "n_retrieved",
+        "n_gold",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_retrieved"), 4).alias("precision"),
+        F.round(F.col("n_correct") / F.col("n_gold"), 4).alias("recall"),
+    )
+
+
 def best_hit_dedup(hits: DataFrame) -> DataFrame:
     """W1 — best hit per (query label, candidate), ties → shorter candidate
     then lexicographic (``SearchJoin.java:951-1031``: ties prefer the shorter

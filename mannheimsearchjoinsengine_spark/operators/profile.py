@@ -71,6 +71,61 @@ def uniqueness_rank(cells: DataFrame) -> DataFrame:
     )
 
 
+def identify_key(df: DataFrame) -> DataFrame:
+    """P10/W3 — generic-table key identification, reference rules
+    (``TableProcessor/TableKeyIdentifier.java:37-176``):
+
+    1. string columns only (``TableManager.removeNonStringColumns:143-160``),
+    2. eligibility: avg value length in [3, 50] (lines 100-103), null
+       fraction ≤ 0.02 (``checkIfKey``, 164-176),
+    3. priority to headers containing ``name``/``label`` (excluding
+       ``_label``; lines 68-90), then argmax uniqueness (W3, 120-133),
+    4. reject below uniqueness 0.6 (lines 141-149; conf ``key.*``).
+
+    Returns per-column stats + ``is_key`` flag. Spark shape: one unpivot →
+    one groupBy — no per-column driver loop, so a 1000-column table still
+    profiles in a single job.
+    """
+    string_cols = [c for c, t in df.dtypes if t == "string"]
+    n_rows = df.count()
+    long = df.unpivot([], string_cols, "col_name", "value")
+    mult = (
+        long.filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count("*").alias("mult"), F.avg(F.length("value")).alias("len_"))
+    )
+    stats = mult.groupBy("col_name").agg(
+        F.round(
+            F.sum(F.when(F.col("mult") == 1, 1).otherwise(0)) / F.sum("mult"), 4
+        ).alias("uniqueness"),
+        F.round(F.sum(F.col("len_") * F.col("mult")) / F.sum("mult"), 4).alias("avg_len"),
+        F.round(1 - F.sum("mult") / F.lit(n_rows), 4).alias("null_frac"),
+    )
+    eligible = (
+        (F.col("avg_len") >= 3)
+        & (F.col("avg_len") <= 50)
+        & (F.col("null_frac") <= 0.02)
+        & (F.col("uniqueness") >= 0.6)
+    )
+    priority = (
+        F.lower(F.col("col_name")).contains("name")
+        | (
+            F.lower(F.col("col_name")).contains("label")
+            & ~F.lower(F.col("col_name")).contains("_label")
+        )
+    ).cast("int")
+    w = Window.orderBy(
+        F.desc(eligible.cast("int")), F.desc(priority), F.desc("uniqueness"),
+        F.asc("col_name")
+    )
+    return (
+        stats.withColumn("eligible", eligible)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("is_key", (F.col("rk") == 1) & eligible)
+        .select("col_name", "uniqueness", "avg_len", "null_frac", "eligible", "is_key")
+    )
+
+
 def subject_election(facts: DataFrame, mentions: DataFrame) -> DataFrame:
     """P10 analog — elect each conversation's primary subject: the most
     frequent normalized subject over facts+mentions; ties → lexicographic

@@ -139,7 +139,11 @@ def resolve_dispatch(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> Data
         .filter(F.col("rn") == 1)
         .select(*keys, F.col("dtype").alias("dtype_major"))
     )
-    c = cells.join(major, list(keys))
+    # The dispatch fans `c` into four branches; materialize the (cells ⋈
+    # major) join once or every branch re-runs the shuffle join (measured
+    # 68 s → ~25 s at 2M turns). On a cluster this is the stage ledger's
+    # job; localCheckpoint covers ledger-less runs.
+    c = cells.join(major, list(keys)).localCheckpoint()
     voting = resolve_voting(c.filter(F.col("dtype_major") == "string"), keys).select(
         *keys, "obj_resolved"
     )

@@ -38,21 +38,27 @@ def run_pipeline(
     With ``checkpoint_root`` set, each stage materializes through the ledger
     (kill + re-run resumes from the last completed stage)."""
     transcripts = load_transcripts(spark, sf_dir)
-    fingerprint = f"{sf_dir}:{transcripts.count()}"
-
     ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
+    # fingerprint from the parquet footer — no Spark job for a row count
+    fingerprint = f"{sf_dir}:{_input_rows(sf_dir)}" if ledger else ""
 
     def stage(name: str, build, partition_by=None) -> DataFrame:
         if ledger is None:
             # Cut lineage at every stage boundary: downstream stages fan the
             # upstream subtree into several branches (resolve dispatch alone
-            # embeds it 4×), and an uncut plan tree grows exponentially.
+            # embeds it 4×), and an uncut plan tree re-runs whole subtrees —
+            # measured 177 s vs ~90 s at 2M turns for a lazy vs materialized
+            # DAG. The ledger path materializes to parquet instead.
             return build().localCheckpoint()
         return ledger.materialize(name, fingerprint, build, partition_by)
 
-    facts = stage("facts", lambda: extract_facts(transcripts))
+    # facts and cells are the same rows (cells = facts + dtype column):
+    # materialize ONCE as cells, expose facts as a zero-cost projection —
+    # two separate stage materializations of 90% identical data were the
+    # single biggest fixed cost in the pipeline.
+    cells = stage("cells", lambda: typed_cells(extract_facts(transcripts)))
+    facts = cells.drop("dtype")
     mentions = stage("mentions", lambda: extract_mentions(transcripts))
-    cells = stage("cells", lambda: typed_cells(facts))
     postings = stage("postings", lambda: build_postings(facts))
     attributes = stage("attributes", lambda: build_attributes(cells))
     jr = stage("join_results", lambda: join_results(mentions, facts))
@@ -87,6 +93,14 @@ def run_pipeline(
         "triples": triples,
         "lineage": ledger.lineage() if ledger else None,
     }
+
+
+def _input_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
+
+    return pq.ParquetFile(ensure_transcripts(sf_dir)).metadata.num_rows
 
 
 def default_checkpoint_root(sf_dir: str) -> str:

@@ -53,6 +53,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-mode inputs are single ~100-200 MB parquet files; the 128 MB
+        # default split would scan them with 1-2 tasks and cap every scan-
+        # derived stage at that parallelism. 4 MB splits give every core a
+        # task at sandbox scale (datagen writes 50k-row groups to match); a
+        # real cluster with TB inputs keeps the default
+        # (set SPARK_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", str(2 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -187,3 +187,36 @@ def test_density_thresholds(spark):
     assert cd["p_one"] == (0.3333, True)  # 1/3 >= 0.3
     rd = {r.query_norm: r.kept for r in row_density(fused).collect()}
     assert rd == {"s1": True, "s2": True, "s3": True}
+
+
+def test_identify_key_customer(spark, sf_dir):
+    from mannheimsearchjoinsengine_spark.operators.profile import identify_key
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_table
+
+    res = {r.col_name: r for r in identify_key(load_table(spark, sf_dir, "customer")).collect()}
+    # c_name is unique + contains 'name' -> elected key (TableKeyIdentifier rules)
+    assert res["c_name"].is_key
+    assert res["c_name"].uniqueness >= 0.6
+    assert not res["c_mktsegment"].is_key  # low uniqueness segment labels
+
+
+def test_evaluate_vs_gold(spark):
+    from mannheimsearchjoinsengine_spark.operators.probe import evaluate_vs_gold
+
+    ranked = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["conv_id"])
+    gold = spark.createDataFrame([("a",), ("b",), ("e",)], ["conv_id"])
+    m = evaluate_vs_gold(ranked, gold).collect()[0]
+    assert (m.n_retrieved, m.n_gold, m.n_correct) == (4, 3, 2)
+    assert m.precision == 0.5
+    assert m.recall == 0.6667
+
+
+def test_char_jaccard_golden(spark):
+    from mannheimsearchjoinsengine_spark.functions.similarity import char_jaccard
+
+    df = spark.createDataFrame([("night", "nacht"), ("abc", "abc"), ("ab", "cd")], ["a", "b"])
+    got = [r.j for r in df.select(char_jaccard(F.col("a"), F.col("b"), 2).alias("j")).collect()]
+    # night: {ni,ig,gh,ht}, nacht: {na,ac,ch,ht} -> 1/7
+    assert got[0] == 0.1429
+    assert got[1] == 1.0
+    assert got[2] == 0.0

@@ -65,4 +65,4 @@ def test_checkpoint_resume_identical(spark, sf_dir, tmp_path_factory):
     assert t1 == t2
     # lineage rows exist for every stage
     stages = {r.stage for r in r2["lineage"].select("stage").distinct().collect()}
-    assert {"facts", "cells", "postings", "resolved", "triples"} <= stages
+    assert {"cells", "postings", "resolved", "triples"} <= stages
