@@ -54,22 +54,19 @@ def main() -> None:
     n_turns = turns_for_tag(sf_tag_of_dir(SF_DIR))
     queries["kg_turns"](spark, SF_DIR).count()
     reps = []
-    if KG_ONLY:
-        # Scaling evidence measures steady-state throughput: one untimed
-        # warm-up run amortizes whole-stage-codegen JIT compilation (worth
-        # 30-60 s on the first pipeline execution in a fresh JVM, at any
-        # core count). The sandbox host has transient background load
-        # (observed 73-222 s for identical warm runs), so take the MIN of
-        # three timed reps — the interference-free estimate.
-        import gc
+    # Steady-state throughput: one untimed warm-up run amortizes
+    # whole-stage-codegen JIT compilation (worth 30-60 s on the first
+    # pipeline executions in a fresh JVM, at any core count).
+    import gc
 
-        warm = run_pipeline(spark, SF_DIR)["triples"]
-        warm.count()
-        del warm
-        gc.collect()
-        n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    else:
-        n_reps = 1
+    warm = run_pipeline(spark, SF_DIR)["triples"]
+    warm.count()
+    del warm
+    gc.collect()
+    # The sandbox host has transient background load (observed 73-222 s for
+    # identical warm runs), so scaling-evidence mode takes the MIN of three
+    # timed reps — the interference-free estimate.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3" if KG_ONLY else "1"))
 
     n_triples = 0
     for i in range(n_reps):

@@ -722,6 +722,53 @@ SELECT subj_norm, pred_raw, obj_raw,
 FROM cells WHERE dtype = 'link'""",
     )
 
+    def _fuzzy_clusters(spark, sf):
+        facts = _facts_ck(spark, sf)
+        pairs = fuzzy.fuzzy_self_pairs(facts.select("subj_norm")).localCheckpoint()
+        return canonical.fuzzy_clusters(facts, pairs)
+
+    q(
+        "kg_fuzzy_clusters",
+        _fuzzy_clusters,
+        facts_prelude(tpath).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f""",
+lbl AS (SELECT DISTINCT subj_norm FROM facts),
+tok AS (
+  SELECT subj_norm AS key, len({duck_norm_tokens('subj_norm')}) AS ntok,
+         unnest({duck_norm_tokens('subj_norm')}) AS token
+  FROM lbl
+),
+tpairs AS (
+  SELECT DISTINCT a.key AS left_key, a.ntok AS ln_, b.key AS right_key,
+         b.ntok AS rn_, a.token
+  FROM tok a JOIN tok b ON a.token = b.token
+),
+fp AS (
+  SELECT left_key, right_key FROM (
+    SELECT left_key, right_key, ln_, rn_, count(*) AS shared_tokens
+    FROM tpairs GROUP BY 1, 2, 3, 4
+  ) WHERE round(shared_tokens / (ln_ + rn_ - shared_tokens), 4) >= 0.5
+    AND left_key < right_key
+),
+edges AS (SELECT left_key AS src, right_key AS dst FROM fp
+          UNION ALL SELECT right_key, left_key FROM fp),
+reach(node, r) AS (
+  SELECT subj_norm, subj_norm FROM (SELECT DISTINCT subj_norm FROM facts)
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+ex AS (SELECT subj_norm, min({_DISPLAY}) AS canonical_label FROM facts GROUP BY 1),
+wc AS (
+  SELECT ex.subj_norm, coalesce(c.component, ex.subj_norm) AS cluster_id,
+         ex.canonical_label
+  FROM ex LEFT JOIN comp c ON ex.subj_norm = c.node
+),
+clabel AS (SELECT cluster_id, min(canonical_label) AS cluster_label FROM wc GROUP BY 1)
+SELECT wc.subj_norm, wc.cluster_id, clabel.cluster_label AS canonical_label
+FROM wc JOIN clabel ON wc.cluster_id = clabel.cluster_id""",
+    )
+
     q(
         "kg_value_sim",
         lambda spark, sf: _cells_ck(spark, sf)
