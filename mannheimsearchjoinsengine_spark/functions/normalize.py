@@ -64,9 +64,10 @@ def norm_key(col: Column) -> Column:
     c = F.regexp_replace(c, _NONWORD_RE, " ")
     # _NONWORD_RE collapses runs to one space, so a single-space split is
     # exact; array_remove (codegen) beats an interpreted filter-lambda 2.3×
-    # on the 2M-turn bench.
+    # on the 2M-turn bench; sort_array (codegen) over array_sort (lambda
+    # comparator, breaks the WholeStageCodegen span — visible in .explain).
     toks = F.array_remove(F.split(F.trim(c), " "), "")
-    return F.array_join(F.array_sort(toks), " ")
+    return F.array_join(F.sort_array(toks), " ")
 
 
 def norm_tokens(col: Column) -> Column:
