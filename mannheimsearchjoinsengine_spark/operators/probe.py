@@ -33,10 +33,23 @@ from pyspark.sql import functions as F
 from mannheimsearchjoinsengine_spark.functions.normalize import norm_tokens
 
 
-def probe(mentions: DataFrame, postings: DataFrame, top_k: int = 5) -> DataFrame:
+def probe(
+    mentions: DataFrame,
+    postings: DataFrame,
+    top_k: int = 5,
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
     """J1/J3 — for each distinct query label, top-k candidate labels by
     matched-token count. Returns
     (query_norm, cand_norm, matched_tokens, n_query_tokens, is_exact, rank).
+
+    ``salted=True`` is the scale path for when the query table itself is
+    web-scale (too big to broadcast) and token frequencies are skewed: the
+    posting side scatters each hot token over ``n_salts`` sub-keys and the
+    query side replicates onto them (functions/salting.py) — the hot
+    token's join work spreads over n_salts reducers instead of one.
+    Results are identical (equivalence-tested).
     """
     q = (
         mentions.select("subj_norm").distinct()
@@ -47,9 +60,14 @@ def probe(mentions: DataFrame, postings: DataFrame, top_k: int = 5) -> DataFrame
     )
     qsize = q.groupBy("query_norm").agg(F.count("*").alias("n_query_tokens"))
     cand = postings.select("token", F.col("subj_norm").alias("cand_norm")).distinct()
+    if salted:
+        from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
+
+        joined = salted_equi_join(cand, q, ["token"], n_salts)
+    else:
+        joined = F.broadcast(q).join(cand, "token")
     hits = (
-        F.broadcast(q)
-        .join(cand, "token")
+        joined
         .groupBy("query_norm", "cand_norm")
         .agg(F.count("*").alias("matched_tokens"))
         .join(F.broadcast(qsize), "query_norm")

@@ -220,3 +220,40 @@ def test_char_jaccard_golden(spark):
     assert got[0] == 0.1429
     assert got[1] == 1.0
     assert got[2] == 0.0
+
+
+def test_salted_probe_equivalence(spark, sf_dir):
+    from mannheimsearchjoinsengine_spark.operators.extract import (
+        extract_facts,
+        extract_mentions,
+    )
+    from mannheimsearchjoinsengine_spark.operators.index import build_postings
+    from mannheimsearchjoinsengine_spark.operators.probe import probe
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    facts = extract_facts(t).localCheckpoint()
+    m = extract_mentions(t)
+    p = build_postings(facts).localCheckpoint()
+    cols = ["query_norm", "cand_norm", "matched_tokens", "n_query_tokens", "is_exact"]
+    a = probe(m, p).select(cols)
+    b = probe(m, p, salted=True, n_salts=7).select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from mannheimsearchjoinsengine_spark.functions.salting import (
+        add_salt,
+        salted_equi_join,
+    )
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", 0)], ["k", "v"]
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "tag"])
+    out = salted_equi_join(big, small, ["k"], n_salts=8)
+    assert out.count() == 1001
+    # hot key actually scatters over multiple salts
+    n_buckets = add_salt(big.filter(F.col("k") == "hot"), 8).select("salt").distinct().count()
+    assert n_buckets > 1
