@@ -84,6 +84,37 @@ def run_streaming_extraction(
     )
 
 
+def stateful_conv_progress(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    conversation, the running turn count and the highest turn index seen —
+    the incremental form of the engine's per-conversation profiling.
+
+    State is one (count, max_idx) pair per conv_id — bounded by the number
+    of live conversations, not by turns; Arrow-batched like every other
+    Python boundary in this repo (no per-row Python).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        "conv_id string, n_turns long, max_turn_idx int",
+        "n long, mx int",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Event-time tumbling-window turn counts per role with a 1-hour
     watermark — late turns beyond the watermark are dropped, state is

@@ -88,3 +88,33 @@ def test_multimodal_real_codecs_are_stubbed():
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
+
+
+def test_stateful_conv_progress_matches_batch(spark, sf_dir, tmp_path):
+    from mannheimsearchjoinsengine_spark.streaming.extract_stream import (
+        stateful_conv_progress,
+    )
+
+    q = (
+        stateful_conv_progress(transcript_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per conv == final state
+    got = (
+        spark.sql("SELECT * FROM conv_progress")
+        .groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"), F.max("max_turn_idx").alias("max_turn_idx"))
+    )
+    want = (
+        load_transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"), F.max("turn_idx").alias("max_turn_idx"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
