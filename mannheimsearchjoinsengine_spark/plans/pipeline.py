@@ -32,11 +32,20 @@ def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
     checkpoint_root: str | None = None,
+    fuzzy_canonical: bool = False,
 ) -> dict[str, DataFrame]:
     """Run all stages; returns every intermediate plus the triple table.
 
     With ``checkpoint_root`` set, each stage materializes through the ledger
-    (kill + re-run resumes from the last completed stage)."""
+    (kill + re-run resumes from the last completed stage).
+
+    ``fuzzy_canonical=True`` clusters surface forms through the fuzzy tier
+    (token-Jaccard candidate pairs → connected components) instead of exact
+    norm-key grouping — the MinHash-LSH + CC path of the north rule. On the
+    synthetic corpus both tiers produce identical clusters (every variant
+    normalizes to the same key; no cross-entity pair reaches τ), so the
+    P/R gate holds for either; on noisy real data the fuzzy tier merges
+    typo variants the exact tier misses."""
     transcripts = load_transcripts(spark, sf_dir)
     ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
     # fingerprint from the parquet footer — no Spark job for a row count
@@ -67,7 +76,18 @@ def run_pipeline(
     resolved = stage(
         "resolved", lambda: resolve_dispatch(cells_canon, ("subj_norm", "pred_canon"))
     )
-    clusters = stage("clusters", lambda: exact_clusters(facts))
+    if fuzzy_canonical:
+        from mannheimsearchjoinsengine_spark.operators.canonical import fuzzy_clusters
+        from mannheimsearchjoinsengine_spark.operators.fuzzy import fuzzy_self_pairs
+
+        clusters = stage(
+            "clusters",
+            lambda: fuzzy_clusters(
+                facts, fuzzy_self_pairs(facts.select("subj_norm")).localCheckpoint()
+            ).select("subj_norm", "canonical_label"),
+        )
+    else:
+        clusters = stage("clusters", lambda: exact_clusters(facts))
     dtypes = stage(
         "pred_dtypes",
         lambda: pred_profile(

@@ -66,3 +66,18 @@ def test_checkpoint_resume_identical(spark, sf_dir, tmp_path_factory):
     # lineage rows exist for every stage
     stages = {r.stage for r in r2["lineage"].select("stage").distinct().collect()}
     assert {"cells", "postings", "resolved", "triples"} <= stages
+
+
+def test_fuzzy_canonical_pipeline_matches_oracle(spark, sf_dir):
+    """North-rule canonicalization path (fuzzy pairs -> CC): on this corpus
+    fuzzy and exact tiers yield identical clusters, so the triple set must
+    equal the oracle's too."""
+    expected = oracle.triples(ensure_transcripts(sf_dir))
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in run_pipeline(spark, sf_dir, fuzzy_canonical=True)["triples"]
+        .select("subj", "pred", "obj", "obj_dtype")
+        .collect()
+    }
+    tp = len(got & expected)
+    assert tp / len(got) >= 0.95 and tp / len(expected) >= 0.95
