@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster run (the north-rule deployment shape):
+
+    cd /root/repo && zip -qr /tmp/sjspark.zip mannheimsearchjoinsengine_spark
+    spark-submit --master <cluster> --py-files /tmp/sjspark.zip \
+        jobs/run_pipeline.py --sf-dir <input> --checkpoint-root <ckpt> \
+        [--fuzzy-canonical] [--output <dir>]
+
+The session builder only sets SQL confs (AQE, Arrow, splits); master and
+executor topology come from spark-submit. With --checkpoint-root every
+stage materializes through the ledger: kill the job at any stage boundary
+and a re-run resumes from the last completed stage with identical output
+(per-partition lineage rows land under <ckpt>/_lineage/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--checkpoint-root", default=None)
+    ap.add_argument("--output", default=None, help="optional triple-table parquet dir")
+    ap.add_argument("--fuzzy-canonical", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from mannheimsearchjoinsengine_spark.plans.pipeline import run_pipeline
+
+    # spark-submit provides master/deploy confs; only attach app-level SQL
+    # confs here (idempotent when the session already exists).
+    spark = SparkSession.builder.appName("sjspark-kg-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.time()
+    result = run_pipeline(
+        spark,
+        args.sf_dir,
+        checkpoint_root=args.checkpoint_root,
+        fuzzy_canonical=args.fuzzy_canonical,
+    )
+    triples = result["triples"]
+    if args.output:
+        triples.write.mode("overwrite").partitionBy("subj_bucket").parquet(args.output)
+    n = triples.count()
+    print(
+        json.dumps(
+            {
+                "triples": n,
+                "wall_s": round(time.time() - t0, 3),
+                "sf_dir": args.sf_dir,
+                "resumable": args.checkpoint_root is not None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
