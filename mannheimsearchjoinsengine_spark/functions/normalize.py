@@ -131,7 +131,9 @@ def duck_norm_key(expr: str) -> str:
     c = f"regexp_replace({c}, '\\([^)]*\\)|\\[[^\\]]*\\]', ' ', 'g')"
     c = f"regexp_replace({c}, '[^a-z0-9]+', ' ', 'g')"
     toks = f"list_filter(string_split(trim({c}), ' '), x -> x <> '')"
-    return f"array_to_string(list_sort({toks}), ' ')"
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join([])
+    # is '' (hypothesis-found edge; empty surfaces are filtered upstream)
+    return f"coalesce(array_to_string(list_sort({toks}), ' '), '')"
 
 
 def duck_norm_tokens(expr: str) -> str:
