@@ -1085,6 +1085,43 @@ FROM shared JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
 WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 4) >= 0.5""",
     )
 
+    q(
+        "doc_dup_clusters",
+        lambda spark, sf: dedup.near_dup_clusters(load_table(spark, sf, "documents")),
+        f"""
+WITH RECURSIVE d AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest({shingle3}) AS shingle FROM d),
+sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT c.doc1, c.doc2, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc1
+  JOIN sh b ON b.doc = c.doc2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc1, doc2
+  FROM shared JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
+  WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 4) >= 0.5
+),
+edges AS (SELECT doc1 AS src, doc2 AS dst FROM fp UNION ALL SELECT doc2, doc1 FROM fp),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT node AS doc_id, min(r) AS keeper_id FROM reach GROUP BY 1),
+csize AS (SELECT keeper_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.keeper_id, s.cluster_size
+FROM comp c JOIN csize s ON c.keeper_id = s.keeper_id""",
+    )
+
     votes = ",\n    ".join(
         "sum(CASE WHEN strpos('13579bdf', substr(md5(shingle), %d, 1)) > 0 "
         "THEN 1 ELSE -1 END) AS v%d" % (b + 1, b)
@@ -1191,6 +1228,13 @@ WHERE {cos} >= 0.9""",
     q(
         "emb_lsh_topk",
         lambda spark, sf: ann.lsh_topk(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
+        ),
+    )
+    q(
+        "emb_ivf_topk",
+        lambda spark, sf: ann.ivf_topk(
             load_table(spark, sf, "embeddings"),
             load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
         ),

@@ -72,6 +72,74 @@ def lsh_bucket(vec_col, n_planes: int, dim: int, plane_offset: int = 0):
     return sig
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a seeded k-means coarse quantizer partitions the
+    corpus into ``n_lists`` inverted lists; each query probes its
+    ``n_probe`` nearest centroids and scores only those lists.
+
+    Scale shape: training is an offline sample job; assignment is one
+    narrow pass; the probe is a hash join on list_id over a corpus
+    partitioned/bucketed by list_id — probe cost drops from O(N·Q) to
+    O(Q·N·n_probe/n_lists). Recall < 1 by construction; pytest measures it
+    against brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    with_feat = emb.withColumn("features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(with_feat)
+    corpus = model.transform(with_feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("prediction").alias("list_id"),
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["list_id", "centroid"],
+    )
+    # query → n_probe nearest centroids (centroid table is tiny → broadcast)
+    qdist = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("qv", "centroid", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("list_id"))
+    probes = (
+        qdist.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -180,6 +180,37 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= tau).select("doc1", "doc2", "jaccard")
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Consolidate near-dup pairs into clusters with one keeper per
+    cluster: MinHash-LSH pairs → connected components → keeper = min doc
+    id. The corpus-dedup equivalent of surface-form canonicalization
+    (same CC kernel, canonical.py).
+
+    Node ids go through zero-padded strings so the CC min is numeric
+    order; output is (doc_id, keeper_id, cluster_size)."""
+    from mannheimsearchjoinsengine_spark.operators.canonical import connected_components
+
+    pairs = minhash_lsh_pairs(docs, tau=tau, text_col=text_col, id_col=id_col)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("doc1").alias("src"), pad("doc2").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("keeper_id"),
+    )
+    # singleton docs keep themselves
+    all_docs = docs.select(F.col(id_col))
+    full = all_docs.join(comp, id_col, "left").select(
+        id_col, F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id")
+    )
+    size = full.groupBy("keeper_id").agg(F.count("*").alias("cluster_size"))
+    return full.join(size, "keeper_id").select(id_col, "keeper_id", "cluster_size")
+
+
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash signature: bit b is 1 when Σ_tokens (±1 by md5-bit b)
     > 0. md5-derived bits → engine-reproducible. Returns (doc, simhash)."""

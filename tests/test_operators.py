@@ -257,3 +257,31 @@ def test_salted_join_spreads_hot_key(spark):
     # hot key actually scatters over multiple salts
     n_buckets = add_salt(big.filter(F.col("k") == "hot"), 8).select("salt").distinct().count()
     assert n_buckets > 1
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from mannheimsearchjoinsengine_spark.operators.ann import brute_force_topk, ivf_topk
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    iv = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, qs, k=5).collect()}
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_ntriples_lines_golden(spark):
+    from mannheimsearchjoinsengine_spark.operators.triplify import ntriples_lines
+
+    triples = spark.createDataFrame(
+        [("New Brightwater", "population", "1,234,567", "numeric", 0),
+         ("Acme Corp", "website", "http://acme.example.com", "link", 1)],
+        ["subj", "pred", "obj", "obj_dtype", "subj_bucket"],
+    )
+    lines = {r.ntriple for r in ntriples_lines(triples).collect()}
+    for line in lines:
+        # <subjURI> <predURI> "literal" .  (IO/Triplifier.java:116-159)
+        assert line.startswith("<"), line
+        assert line.endswith(" ."), line
+        assert line.count("<") >= 2, line
