@@ -24,13 +24,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def pred_pair_scores(cells: DataFrame) -> DataFrame:
+def evidence(cells: DataFrame) -> DataFrame:
+    """Distinct (pred, subj, obj) evidence, materialized once — it feeds
+    several branches (sizes, both self-join sides, the all-preds set) and
+    is schema×entity-sized (tiny) after the one corpus-wide distinct."""
+    return cells.select("pred_raw", "subj_norm", "obj_raw").distinct().localCheckpoint()
+
+
+def pred_pair_scores(cells: DataFrame, ev: DataFrame | None = None) -> DataFrame:
     """A3 — per predicate pair: shared distinct (subj,obj) evidence count +
     jaccard of pair-sets. Only pairs sharing ≥1 (subj,obj) are generated."""
-    # ev feeds three branches (sizes, both join sides) and the merge map —
-    # materialize the distinct once (output is schema×entity-sized, tiny)
-    # instead of re-running the full-corpus distinct per branch.
-    ev = cells.select("pred_raw", "subj_norm", "obj_raw").distinct().localCheckpoint()
+    ev = evidence(cells) if ev is None else ev
     sizes = ev.groupBy("pred_raw").agg(F.count("*").alias("n_pairs"))
     e1 = ev.select(
         F.col("pred_raw").alias("pred1"), "subj_norm", "obj_raw"
@@ -77,7 +81,8 @@ def pred_merge_map(cells: DataFrame, tau: float = 0.7, min_shared: int = 2) -> D
     Output has one row per predicate (identity rows included) so downstream
     can plain-join on pred_raw.
     """
-    scores = pred_pair_scores(cells).localCheckpoint().filter(
+    ev = evidence(cells)
+    scores = pred_pair_scores(cells, ev).localCheckpoint().filter(
         (F.col("containment") >= tau) & (F.col("shared") >= min_shared)
     )
     edges = scores.select(
@@ -102,7 +107,8 @@ def pred_merge_map(cells: DataFrame, tau: float = 0.7, min_shared: int = 2) -> D
         .groupBy("pred_raw")
         .agg(F.min("pred_canon").alias("pred_canon"))
     )
-    all_preds = cells.select("pred_raw").distinct()
+    # derive from the materialized evidence — not another full-corpus pass
+    all_preds = ev.select("pred_raw").distinct()
     return (
         all_preds.join(mapping, "pred_raw", "left")
         .select(

@@ -51,14 +51,18 @@ def probe(
     token's join work spreads over n_salts reducers instead of one.
     Results are identical (equivalence-tested).
     """
+    # n_query_tokens rides along the explode (size of the token array) —
+    # no separate count-agg + re-join (two exchanges saved vs the naive
+    # shape; duplicates count identically on both paths).
     q = (
         mentions.select("subj_norm").distinct()
+        .select(F.col("subj_norm").alias("query_norm"), norm_tokens(F.col("subj_norm")).alias("toks"))
         .select(
-            F.col("subj_norm").alias("query_norm"),
-            F.explode(norm_tokens(F.col("subj_norm"))).alias("token"),
+            "query_norm",
+            F.size("toks").alias("n_query_tokens"),
+            F.explode("toks").alias("token"),
         )
     )
-    qsize = q.groupBy("query_norm").agg(F.count("*").alias("n_query_tokens"))
     cand = postings.select("token", F.col("subj_norm").alias("cand_norm")).distinct()
     if salted:
         from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
@@ -68,9 +72,8 @@ def probe(
         joined = F.broadcast(q).join(cand, "token")
     hits = (
         joined
-        .groupBy("query_norm", "cand_norm")
+        .groupBy("query_norm", "n_query_tokens", "cand_norm")
         .agg(F.count("*").alias("matched_tokens"))
-        .join(F.broadcast(qsize), "query_norm")
         .withColumn(
             "is_exact",
             (F.col("matched_tokens") == F.col("n_query_tokens"))

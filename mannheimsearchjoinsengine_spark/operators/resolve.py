@@ -126,37 +126,106 @@ def resolve_date_average(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> 
     )
 
 
+def value_grain(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
+    """The (keys, obj_raw, dtype) value grain: occurrence count + first/last
+    timestamp. ONE corpus-wide shuffle reduces 10^N rows to the distinct
+    values per entity-attribute (schema×entity-sized); EVERY resolution
+    strategy and the majority-dtype vote are then computable on the tiny
+    grain — the reference quirks (first-to-max voting, row-indexed upper
+    median, last-date bug, first-by-ts) all depend only on per-value
+    (cnt, min ts, max ts) because timestamps are unique per turn."""
+    return cells.groupBy(*keys, "obj_raw", "dtype").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def resolve_dispatch(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:
     """Full dispatch over the group's majority dtype:
     string→voting, numeric/unit→median, date→date-average-bug,
     else→first. Output obj_resolved is always a string (the reference's
-    all-strings model)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc("dn"), F.asc("dtype"))
+    all-strings model).
+
+    Shape: one value_grain shuffle over the corpus, then all four branches
+    run on the materialized grain (an earlier version joined dtype_major
+    back onto the full cell table and fanned THAT into four branches —
+    measured 67 s vs ~15 s at 8M turns)."""
+    keys = list(keys)
+    g = value_grain(cells, keys).localCheckpoint()
+    wd = Window.partitionBy(*keys).orderBy(F.desc("dn"), F.asc("dtype"))
     major = (
-        cells.groupBy(*keys, "dtype")
-        .agg(F.count("*").alias("dn"))
-        .withColumn("rn", F.row_number().over(w))
+        g.groupBy(*keys, "dtype")
+        .agg(F.sum("cnt").alias("dn"))
+        .withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") == 1)
         .select(*keys, F.col("dtype").alias("dtype_major"))
     )
-    # The dispatch fans `c` into four branches; materialize the (cells ⋈
-    # major) join once or every branch re-runs the shuffle join (measured
-    # 68 s → ~25 s at 2M turns). On a cluster this is the stage ledger's
-    # job; localCheckpoint covers ledger-less runs.
-    c = cells.join(major, list(keys)).localCheckpoint()
-    voting = resolve_voting(c.filter(F.col("dtype_major") == "string"), keys).select(
-        *keys, "obj_resolved"
+    gm = g.join(major, keys)
+
+    # voting: cnt desc, then first value to reach the max (= min last_ts)
+    wv = Window.partitionBy(*keys).orderBy(
+        F.desc("cnt"), F.asc("last_ts"), F.asc("obj_raw")
     )
-    med = resolve_median(
-        c.filter(F.col("dtype_major").isin("numeric", "unit")).withColumn(
-            "obj_raw", F.regexp_extract("obj_raw", r"^(-?[0-9][0-9,]*(\.[0-9]+)?)", 1)
-        ),
-        keys,
-    ).select(*keys, F.col("obj_resolved").cast("string").alias("obj_resolved"))
-    dates = resolve_date_average(c.filter(F.col("dtype_major") == "date"), keys).select(
-        *keys, F.col("avg_epoch_s").cast("string").alias("obj_resolved")
+    voting = (
+        gm.filter(F.col("dtype_major") == "string")
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("obj_raw").alias("obj_resolved"))
     )
-    rest = resolve_first(
-        c.filter(~F.col("dtype_major").isin("string", "numeric", "unit", "date")), keys
-    ).select(*keys, "obj_resolved")
+
+    # median: row-indexed upper median from (num, cnt) cumulative ranges —
+    # equal nums are adjacent in the reference's (num, ts) row order, so the
+    # value at the picked index only depends on counts.
+    med_vals = (
+        gm.filter(F.col("dtype_major").isin("numeric", "unit"))
+        .withColumn(
+            "num",
+            parse_numeric(
+                F.regexp_extract("obj_raw", r"^(-?[0-9][0-9,]*(\.[0-9]+)?)", 1)
+            ),
+        )
+        .filter(F.col("num").isNotNull())
+    )
+    wm = Window.partitionBy(*keys).orderBy(F.asc("num"), F.asc("first_ts"))
+    wn = Window.partitionBy(*keys)
+    med_ranked = (
+        med_vals.withColumn("cum", F.sum("cnt").over(wm))
+        .withColumn("n", F.sum("cnt").over(wn))
+    )
+    pick = F.when(F.col("n") == 1, F.lit(1).cast("double")).when(
+        F.col("n") % 2 == 0, F.col("n") / 2 + 1
+    ).otherwise(F.floor(F.col("n") / 2) + 2)
+    med = med_ranked.filter(
+        (F.col("cum") - F.col("cnt") < pick) & (pick <= F.col("cum"))
+    ).select(*keys, F.col("num").cast("string").alias("obj_resolved"))
+
+    # date-average bug: epoch(last date by ts) / n (ts unique per turn)
+    dvals = (
+        gm.filter(F.col("dtype_major") == "date")
+        .withColumn("d", parse_any_date(F.col("obj_raw")))
+        .filter(F.col("d").isNotNull())
+    )
+    wdt = Window.partitionBy(*keys).orderBy(F.desc("last_ts"))
+    dates = (
+        dvals.withColumn("rn", F.row_number().over(wdt))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            *keys,
+            (F.unix_timestamp(F.col("d").cast("timestamp")) / F.col("n"))
+            .cast("long")
+            .cast("string")
+            .alias("obj_resolved"),
+        )
+    )
+
+    # first: min ts row (unique), tie-break obj asc matches resolve_first
+    wf = Window.partitionBy(*keys).orderBy(F.asc("first_ts"), F.asc("obj_raw"))
+    rest = (
+        gm.filter(~F.col("dtype_major").isin("string", "numeric", "unit", "date"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("obj_raw").alias("obj_resolved"))
+    )
     return voting.unionByName(med).unionByName(dates).unionByName(rest)

@@ -52,6 +52,8 @@ def run_pipeline(
     fingerprint = f"{sf_dir}:{_input_rows(sf_dir)}" if ledger else ""
 
     def stage(name: str, build, partition_by=None) -> DataFrame:
+        # label the stage's jobs in the Spark UI / REST metrics
+        spark.sparkContext.setJobDescription(f"kg-stage:{name}")
         if ledger is None:
             # Cut lineage at every stage boundary: downstream stages fan the
             # upstream subtree into several branches (resolve dispatch alone
