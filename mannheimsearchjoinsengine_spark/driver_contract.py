@@ -485,6 +485,27 @@ FROM facts GROUP BY 1""",
     )
 
     q(
+        "kg_value_grain",
+        lambda spark, sf: resolve.value_grain(
+            _cells_ck(spark, sf).withColumn("pred_canon", F.col("pred_raw"))
+        ).select(
+            "subj_norm",
+            "pred_canon",
+            "obj_raw",
+            "dtype",
+            "cnt",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_s"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_s"),
+        ),
+        cells_prelude(tpath)
+        + """
+SELECT subj_norm, pred_raw AS pred_canon, obj_raw, dtype, count(*) AS cnt,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts_s,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_s
+FROM cells GROUP BY 1, 2, 3, 4""",
+    )
+
+    q(
         "kg_resolve_voting",
         lambda spark, sf: resolve.resolve_voting(_ccells_ck(spark, sf)),
         merge_prelude(tpath)
