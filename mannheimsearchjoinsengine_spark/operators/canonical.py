@@ -61,48 +61,91 @@ def exact_clusters(facts: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Iterative-join connected components over an undirected edge list
-    (columns ``src``, ``dst``; string node ids). Returns (node, component)
-    with component = min node id of the component.
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: connect every strictly larger neighbor of u to
+    m = min(Γ(u) ∪ {u}). Output oriented src > dst, distinct."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("src", "mn").alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
-    Plain alternating min-propagation (each round: component ← min over
-    neighbors' components, both directions). Converges in O(diameter)
-    rounds; every round is one shuffle on node id. GraphFrames-free on
-    purpose (no jar dependency — SURVEY.md §7 step 9).
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient edges to the smaller endpoint, connect all of u's
+    smaller neighbors (and u) to m = min(Γ⁻(u) ∪ {u}). Oriented, distinct."""
+    o = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))  # all dst < src → m = min
+    spokes = (
+        o.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    hubs = mins.select("src", F.col("m").alias("dst"))
+    return spokes.union(hubs).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over an undirected edge list (columns ``src``,
+    ``dst``; string node ids). Returns (node, component) with component =
+    min node id of the component — the same semantics as the WITH RECURSIVE
+    min-reachability oracles in driver_contract.py.
+
+    Real alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): converges in O(log n)
+    rounds regardless of graph DIAMETER — the earlier neighbor-min
+    propagation was O(diameter) and silently returned split components on
+    long chains (typo chains at web scale) once it hit max_iter. Each round
+    is two self-join+groupBy passes over the edge list, hashed on node id;
+    AQE handles stragglers. GraphFrames-free on purpose (no jar dependency —
+    SURVEY.md §7 step 9).
+
+    Raises ``RuntimeError`` on non-convergence instead of returning wrong
+    clusters: max_iter=30 covers any feasible graph (rounds ~ log² n worst
+    case; a 2^15-node pathological chain converges in <15 rounds).
     """
-    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst as src", "src as dst"))
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    comp = nodes.withColumn("component", F.col("node"))
-    sym = sym.localCheckpoint()  # cut lineage; edge list is reused every round
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(comp, sym.src == comp.node)
-            .select(F.col("dst").alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_comp = (
-            comp.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-        )
-        # convergence check: any node whose component still shrinks?
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp.localCheckpoint()
-        if changed == 0:
+        if converged:
             break
-    return comp
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        n_new = new_e.count()
+        # set equality: same size and no edge outside the old set
+        converged = n_new == n_edges and new_e.subtract(e).isEmpty()
+        e, n_edges = new_e, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds — refusing to return split components"
+        )
+    # converged state is a star per component rooted at the min node:
+    # spokes map via their edge, roots map to themselves.
+    spokes = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    return spokes.union(roots).distinct()
 
 
 def fuzzy_clusters(facts: DataFrame, fuzzy_pairs: DataFrame) -> DataFrame:

@@ -89,11 +89,15 @@ def ngram_jaccard_pairs(
             F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 4),
         )
     )
-    w = Window.orderBy(F.desc("jaccard"), F.asc("doc1"), F.asc("doc2"))
-    return (
-        jac.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_pairs)
-        .select("doc1", "doc2", "shared", "jaccard", "rn")
+    # TakeOrdered top-N (parallel partial top-k per partition, merged on the
+    # driver), NOT a global row_number window — the un-partitioned window
+    # sorted ALL pairs through a single reducer. rn is derived afterwards on
+    # the ≤top_pairs-row result where a window costs nothing.
+    order = [F.desc("jaccard"), F.asc("doc1"), F.asc("doc2")]
+    top = jac.orderBy(*order).limit(top_pairs)
+    w = Window.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "doc1", "doc2", "shared", "jaccard", "rn"
     )
 
 

@@ -117,15 +117,19 @@ def fuse_augmented(fused: DataFrame, preds: list[str] | None = None) -> DataFram
 def column_density(fused: DataFrame, threshold: float = COLUMN_DENSITY) -> DataFrame:
     """P14 (column half) — per-predicate subject coverage; predicates below
     ``threshold`` are dropped (``TableDataCleaner.java:217-253``)."""
-    n_subj = fused.select("query_norm").distinct().count()
+    # denominator as a broadcast 1-row aggregate, not a blocking .count()
+    # job (the driver-side scalar re-ran the fused subtree as a second job)
+    n_subj = fused.agg(F.countDistinct("query_norm").alias("n_subj"))
+    cov = F.round(F.col("n_subjects") / F.col("n_subj"), 4)
     return (
         fused.groupBy("pred_raw")
         .agg(F.countDistinct("query_norm").alias("n_subjects"))
+        .crossJoin(F.broadcast(n_subj))
         .select(
             "pred_raw",
             "n_subjects",
-            F.round(F.col("n_subjects") / F.lit(n_subj), 4).alias("coverage"),
-            (F.round(F.col("n_subjects") / F.lit(n_subj), 4) >= threshold).alias("kept"),
+            cov.alias("coverage"),
+            (cov >= threshold).alias("kept"),
         )
     )
 
@@ -135,16 +139,19 @@ def row_density(fused: DataFrame, threshold: float = ROW_DENSITY) -> DataFrame:
     predicates; subjects below ``threshold`` are dropped
     (``TableDataCleaner.java:260-333``)."""
     kept = column_density(fused).filter(F.col("kept")).select("pred_raw")
-    n_preds = kept.count()
+    # kept-predicate count as a broadcast scalar (same no-.count() pattern)
+    n_kept = kept.agg(F.count("*").alias("n_kept"))
+    dens = F.round(F.col("n_preds") / F.col("n_kept"), 4)
     return (
         fused.join(F.broadcast(kept), "pred_raw")
         .groupBy("query_norm")
         .agg(F.countDistinct("pred_raw").alias("n_preds"))
+        .crossJoin(F.broadcast(n_kept))
         .select(
             "query_norm",
             "n_preds",
-            F.round(F.col("n_preds") / F.lit(n_preds), 4).alias("density"),
-            (F.round(F.col("n_preds") / F.lit(n_preds), 4) >= threshold).alias("kept"),
+            dens.alias("density"),
+            (dens >= threshold).alias("kept"),
         )
     )
 

@@ -45,13 +45,21 @@ def build_postings(facts: DataFrame, df_cap: float = 0.5) -> DataFrame:
         "conv_id",
         "n_rows",
     )
-    n_labels = labels.select("subj_norm").distinct().count()
-    if df_cap is not None and n_labels > 0:
+    if df_cap is not None:
+        # the df-cap denominator (#distinct labels) is a 1-row aggregate
+        # broadcast into the filter, NOT a driver-side .count() — a scalar
+        # count action is an extra blocking job that re-runs the upstream
+        # subtree; the broadcast-scalar crossJoin stays one lazy plan.
+        n_labels = labels.agg(F.countDistinct("subj_norm").alias("n_labels"))
         tok_df = postings.groupBy("token").agg(
             F.countDistinct("subj_norm").alias("df_labels")
         )
-        keep = tok_df.filter(F.col("df_labels") <= int(df_cap * n_labels) + 1)
-        postings = postings.join(F.broadcast(keep.select("token")), "token")
+        keep = (
+            tok_df.crossJoin(F.broadcast(n_labels))
+            .filter(F.col("df_labels") <= F.floor(F.lit(df_cap) * F.col("n_labels")) + 1)
+            .select("token")
+        )
+        postings = postings.join(F.broadcast(keep), "token")
     return postings
 
 

@@ -112,10 +112,16 @@ def join_results(mentions: DataFrame, facts: DataFrame, top_n: int = 100) -> Dat
             F.sum(F.col("mult_l") * F.col("mult_r")).alias("join_size"),
         )
     )
-    w = Window.orderBy(F.desc("matched_keys"), F.desc("join_size"), F.asc("conv_id"))
-    return jr.withColumn("total_rank", F.row_number().over(w)).filter(
-        F.col("total_rank") <= top_n
-    )
+    # top-N via orderBy().limit() → TakeOrderedAndProject: every partition
+    # computes a partial top-N, the driver merges N·P rows — no global
+    # un-partitioned window (which funnels EVERY candidate through one task;
+    # that single-reducer sort was the scale tail of this operator). The
+    # rank column is then derived on the ≤N-row result, where a global
+    # window is O(N) and free.
+    order = [F.desc("matched_keys"), F.desc("join_size"), F.asc("conv_id")]
+    top = jr.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return top.withColumn("total_rank", F.row_number().over(w))
 
 
 def score_join_results(
@@ -142,11 +148,19 @@ def score_join_results(
       reference's cross-result normalizer (W2, ``SearchJoin.java:204-223``)
       — a scalar agg broadcast back, not a global window over rows.
     """
-    n_labels = postings.select("subj_norm").distinct().count()
+    # both scalar denominators (#labels, #distinct query keys) are 1-row
+    # aggregates broadcast back into the plan — no driver-side .count()
+    # actions (each was a blocking extra job re-running its subtree); same
+    # pattern as the max_score/max_joins scalars below.
+    n_labels = postings.agg(F.countDistinct("subj_norm").alias("n_labels"))
     idf = (
         postings.groupBy("token")
         .agg(F.countDistinct("subj_norm").alias("df_labels"))
-        .select("token", F.log(F.lit(float(n_labels)) / F.col("df_labels")).alias("idf"))
+        .crossJoin(F.broadcast(n_labels))
+        .select(
+            "token",
+            F.log(F.col("n_labels").cast("double") / F.col("df_labels")).alias("idf"),
+        )
     )
     key_scores = (
         mentions.select("subj_norm")
@@ -156,7 +170,7 @@ def score_join_results(
         .groupBy("subj_norm")
         .agg(F.sum("idf").alias("key_score"))
     )
-    left_distinct = mentions.select("subj_norm").distinct().count()
+    left_distinct = mentions.agg(F.countDistinct("subj_norm").alias("left_distinct"))
     right = facts.groupBy("conv_id").agg(F.count("*").alias("right_card"))
     matched = (
         F.broadcast(key_scores)
@@ -171,10 +185,10 @@ def score_join_results(
     scalars = matched.agg(
         F.max("total_score").alias("max_score"), F.max("matched_keys").alias("max_joins")
     )
-    jr = matched.crossJoin(F.broadcast(scalars))
+    jr = matched.crossJoin(F.broadcast(scalars)).crossJoin(F.broadcast(left_distinct))
     avg_score = F.col("total_score") / F.col("matched_keys")
     join_pairs = F.when(
-        F.col("matched_keys") < 0.3 * F.lit(left_distinct), F.lit(left_distinct)
+        F.col("matched_keys") < 0.3 * F.col("left_distinct"), F.col("left_distinct")
     ).otherwise(F.col("matched_keys"))
     best_score = F.col("max_score") / F.col("max_joins")
     return jr.select(
@@ -182,9 +196,9 @@ def score_join_results(
         "matched_keys",
         "right_card",
         F.round("total_score", 4).alias("total_score"),
-        F.round(F.col("matched_keys") * avg_score / F.lit(left_distinct), 4).alias(
-            "rank_query_cov"
-        ),
+        F.round(
+            F.col("matched_keys") * avg_score / F.col("left_distinct"), 4
+        ).alias("rank_query_cov"),
         F.round(F.col("matched_keys") * avg_score / F.col("right_card"), 4).alias(
             "rank_entity_cov"
         ),

@@ -87,19 +87,28 @@ def identify_key(df: DataFrame) -> DataFrame:
     profiles in a single job.
     """
     string_cols = [c for c, t in df.dtypes if t == "string"]
-    n_rows = df.count()
+    # table row count as a broadcast 1-row aggregate — no blocking .count()
+    n_rows = df.agg(F.count("*").alias("n_rows"))
     long = df.unpivot([], string_cols, "col_name", "value")
     mult = (
         long.filter(F.col("value").isNotNull())
         .groupBy("col_name", "value")
         .agg(F.count("*").alias("mult"), F.avg(F.length("value")).alias("len_"))
     )
-    stats = mult.groupBy("col_name").agg(
-        F.round(
-            F.sum(F.when(F.col("mult") == 1, 1).otherwise(0)) / F.sum("mult"), 4
-        ).alias("uniqueness"),
-        F.round(F.sum(F.col("len_") * F.col("mult")) / F.sum("mult"), 4).alias("avg_len"),
-        F.round(1 - F.sum("mult") / F.lit(n_rows), 4).alias("null_frac"),
+    stats = (
+        mult.groupBy("col_name")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mult") == 1, 1).otherwise(0)) / F.sum("mult"), 4
+            ).alias("uniqueness"),
+            F.round(F.sum(F.col("len_") * F.col("mult")) / F.sum("mult"), 4).alias(
+                "avg_len"
+            ),
+            F.sum("mult").alias("_n_vals"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .withColumn("null_frac", F.round(1 - F.col("_n_vals") / F.col("n_rows"), 4))
+        .drop("_n_vals", "n_rows")
     )
     eligible = (
         (F.col("avg_len") >= 3)

@@ -113,6 +113,32 @@ def test_connected_components(spark):
     assert comp["x"] == comp["y"] == "x"
 
 
+def test_connected_components_long_chain(spark):
+    """Diameter ≫ max_iter of the old min-propagation kernel: a 100-node
+    chain must come back as ONE component (min id root) — the O(log n)
+    large-star/small-star guarantee, not O(diameter)."""
+    n = 100
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)], ["src", "dst"]
+    )
+    rows = connected_components(edges, max_iter=10).collect()
+    comp = {r.node: r.component for r in rows}
+    assert len(comp) == n
+    assert set(comp.values()) == {"n000"}
+
+
+def test_connected_components_shuffled_forest(spark):
+    """Two shuffled components with reversed edge directions + duplicate and
+    self-loop edges; min-id semantics must match a python union-find."""
+    raw = [
+        ("k", "d"), ("d", "b"), ("b", "k"), ("b", "b"), ("d", "k"),
+        ("z", "m"), ("m", "t"), ("t", "z"), ("m", "z"),
+    ]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {"k": "b", "d": "b", "b": "b", "z": "m", "m": "m", "t": "m"}
+
+
 def test_porter_stemmer_golden():
     golden = {
         "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
