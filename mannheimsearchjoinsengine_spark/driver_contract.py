@@ -70,20 +70,19 @@ af AS (
   FROM t WHERE role = 'assistant'
     AND regexp_extract(text, '{ASSISTANT_RE}', 1) <> ''
 ),
-tkv AS (
-  SELECT conv_id, turn_idx, ts,
-         split_part(kv, '=', 1) AS k, split_part(kv, '=', 2) AS v
-  FROM (SELECT conv_id, turn_idx, ts, unnest(string_split(text, '; ')) AS kv
-        FROM t WHERE role = 'tool')
-),
 tf AS (
-  SELECT p.conv_id, p.turn_idx, p.ts, 'tool' AS src,
-         p.k AS pred_raw, e.v AS subj_surface, p.v AS obj_raw
-  FROM tkv p
-  JOIN (SELECT conv_id, turn_idx, max(v) AS v FROM tkv WHERE k = 'entity'
-        GROUP BY conv_id, turn_idx) e
-    ON p.conv_id = e.conv_id AND p.turn_idx = e.turn_idx
-  WHERE p.k <> 'entity'
+  -- subject = FIRST 'entity=' pair captured up to ';' via the SAME anchored
+  -- regex as extract.extract_tool_facts (no-match → ''), NOT max() over all
+  -- entity pairs — keeps oracle and Spark aligned on multi-entity turns,
+  -- '=' inside values, and entity-less tool turns (kept with '' subject)
+  SELECT conv_id, turn_idx, ts, 'tool' AS src,
+         split_part(kv, '=', 1) AS pred_raw,
+         regexp_extract(text, '(?:^|; )entity=([^;]*)(?:;|$)', 1) AS subj_surface,
+         split_part(kv, '=', 2) AS obj_raw
+  FROM (SELECT conv_id, turn_idx, ts, text,
+               unnest(string_split(text, '; ')) AS kv
+        FROM t WHERE role = 'tool')
+  WHERE split_part(kv, '=', 1) <> 'entity'
 ),
 facts AS (
   SELECT u.*, {nk} AS subj_norm
@@ -921,11 +920,24 @@ FROM cells WHERE dtype = 'unit'""",
         "kg_numeric_clean",
         lambda spark, sf: fuse.numeric_normalize(_cells_ck(spark, sf)),
         cells_prelude(tpath)
-        + """
+        + """,
+-- full P15 twin of fuse.clean_numeric: strip non-[0-9.] then collapse all
+-- dots but the LAST (RE2 has no lookahead, so the dot-collapse is done by
+-- re-joining the dot-split parts around the final dot)
+stripped AS (
+  SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
+         regexp_replace(obj_raw, '[^0-9.]', '', 'g') AS s,
+         string_split(regexp_replace(obj_raw, '[^0-9.]', '', 'g'), '.') AS parts
+  FROM cells WHERE dtype = 'numeric'
+)
 SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
-       regexp_replace(obj_raw, '[^0-9.]', '', 'g') AS obj_clean,
-       try_cast(regexp_replace(obj_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS num_value
-FROM cells WHERE dtype = 'numeric'""",
+       CASE WHEN len(parts) > 2
+            THEN array_to_string(parts[1:len(parts)-1], '') || '.' || parts[len(parts)]
+            ELSE s END AS obj_clean,
+       try_cast(CASE WHEN len(parts) > 2
+            THEN array_to_string(parts[1:len(parts)-1], '') || '.' || parts[len(parts)]
+            ELSE s END AS DOUBLE) AS num_value
+FROM stripped""",
     )
 
     q(

@@ -55,10 +55,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local-mode inputs are single ~100-200 MB parquet files; the 128 MB
         # default split would scan them with 1-2 tasks and cap every scan-
-        # derived stage at that parallelism. 4 MB splits give every core a
-        # task at sandbox scale (datagen writes 50k-row groups to match); a
-        # real cluster with TB inputs keeps the default
-        # (set SPARK_MAX_PARTITION_BYTES).
+        # derived stage at that parallelism. 2 MB splits give every core a
+        # task at sandbox scale (datagen writes 50k-row groups to match).
+        # The tiny split is LOCAL-ONLY tuning: any cluster deployment must
+        # set SPARK_MAX_PARTITION_BYTES (e.g. back to 128 MB) or scans of
+        # TB inputs will explode into millions of tasks.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_MAX_PARTITION_BYTES", str(2 * 1024 * 1024)),

@@ -68,12 +68,23 @@ def run_streaming_extraction(
     """Incremental fact extraction: backlog → availableNow → parquet sink.
 
     foreachBatch reuses the exact batch extraction plan per micro-batch, so
-    streaming and batch cannot drift; the sink append is idempotent per
-    epoch via the checkpoint."""
+    streaming and batch cannot drift. foreachBatch is at-least-once: a crash
+    after a (partial) write but before the checkpoint commit replays the
+    epoch — so the write itself must be idempotent per epoch. Each epoch
+    writes its own ``epoch_id=N`` partition with dynamic partition
+    overwrite: a replayed epoch REPLACES its partition instead of appending
+    duplicate fact rows."""
     src = transcript_stream(spark, sf_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        extract_facts(batch_df).write.mode("append").parquet(out_dir)
+        (
+            extract_facts(batch_df)
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
 
     (
         src.writeStream.foreachBatch(process)
