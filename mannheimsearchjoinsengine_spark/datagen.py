@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATAGEN_VERSION = 4  # bump when the grammar changes → regenerates caches
+DATAGEN_VERSION = 5  # bump when the grammar changes → regenerates caches
 # Small row groups so Spark can split the single parquet file into many scan
 # tasks (a 1M-row default row group caps scan parallelism at ~2 tasks).
 ROW_GROUP_SIZE = 50_000
@@ -68,7 +68,16 @@ SKILL_WORDS = ["piloting", "analysis", "rhetoric", "carving", "logistics", "cart
 DISTRICT_WORDS = ["harborside", "oldtown", "midrise", "gardens", "foundry", "heights"]
 TOOLS = ["search", "lookup", "calc"]
 
-DATE_FORMATS = ["%m/%d/%Y", "%Y-%m-%d", "%d.%m.%Y"]
+# emission formats — the day-grain subset of the engine's parse cascade
+# (resolve.DATE_FORMATS, from parsers/DateUtil.java:45-123). %d/%m/%Y with
+# day ≤ 12 is read month-first by BOTH engines (the reference's documented
+# MM/dd-priority quirk); %B with a 3-letter month (May) falls through the
+# date type-gate to string — also reference behavior.
+DATE_FORMATS = [
+    "%m/%d/%Y", "%Y-%m-%d", "%d.%m.%Y", "%Y/%m/%d", "%d-%m-%Y", "%Y%m%d",
+    "%d %b %Y", "%d %B %Y", "%B %d %Y", "%m.%Y", "%d/%m/%Y",
+]
+AREA_UNITS = ["km2", "mi2", "ha"]
 
 
 def _entity_catalog():
@@ -92,6 +101,19 @@ def _entity_catalog():
                 " ".join(reversed(toks)),
                 f"{name} ({cls})",
             ]
+            # near-miss surfaces: normalize to a DIFFERENT key whose token
+            # set overlaps the entity's at jaccard ≥ 0.5 — the fuzzy tier's
+            # raw material (exact normalization cannot unify these). The
+            # company pair (base, name+" Inc") plus the canonical name forms
+            # a token-jaccard CHAIN base—name—inc (1/2 and 2/3, but 1/3
+            # base↔inc) — exercises transitive CC, and shared bases
+            # ("Acme" of Acme Corp/Acme Labs) create realistic over-merges.
+            if cls == "city":
+                nearmiss = [f"{name} City"]
+            elif cls == "person":
+                nearmiss = [f"{name} Jr"]
+            else:
+                nearmiss = [toks[0], f"{name} Inc"]
             slug = name.lower().replace(" ", "")
             facts = []
             if cls == "city":
@@ -100,7 +122,8 @@ def _entity_catalog():
                 pop = rng.randint(10_000, 8_999_999)
                 facts.append(("population", f"{pop:,}", f"{pop + rng.randint(1, 999):,}"))
                 area = rng.randint(20, 9000)
-                facts.append(("area", f"{area} km2", f"{area + rng.randint(1, 50)} km2"))
+                au = rng.choice(AREA_UNITS)
+                facts.append(("area", f"{area} {au}", f"{area + rng.randint(1, 50)} {au}"))
                 d = datetime(rng.randint(1100, 1990), rng.randint(1, 12), rng.randint(1, 28))
                 fmt = rng.choice(DATE_FORMATS)
                 facts.append(("founded", d.strftime(fmt), d.replace(year=d.year + 1).strftime(fmt)))
@@ -112,17 +135,38 @@ def _entity_catalog():
             elif cls == "person":
                 age = rng.randint(18, 90)
                 facts.append(("age", str(age), str(age + 1)))
+                # near-miss NUMERIC synonym of age (comma-free: the typed
+                # instance kernel parses it, scores ≈ 0.5·age/(age+1) ≥ 0.4
+                # → merges under instance-based matching, NOT under exact
+                # evidence overlap)
+                facts.append(("years", str(age + 1), str(age)))
                 h = rng.randint(150, 200)
-                facts.append(("height", f"{h} cm", f"{h + 2} cm"))
+                if rng.random() < 0.3:
+                    facts.append(("height", f"{h / 100:.2f} m", f"{(h + 2) / 100:.2f} m"))
+                else:
+                    facts.append(("height", f"{h} cm", f"{h + 2} cm"))
+                w = rng.randint(50, 110)
+                facts.append(("weight", f"{w} kg", f"{w + 1} kg"))
                 d = datetime(rng.randint(1930, 2005), rng.randint(1, 12), rng.randint(1, 28))
                 fmt = rng.choice(DATE_FORMATS)
                 facts.append(("born", d.strftime(fmt), d.replace(year=d.year - 1).strftime(fmt)))
+                # date synonym of born in ANOTHER format: equal dates score
+                # 0 under the reference's inverted diff/range date kernel —
+                # the quirk keeps this pair UNmerged (oracle-pinned)
+                fmt2 = rng.choice(DATE_FORMATS)
+                facts.append(("birthdate", d.strftime(fmt2), d.replace(year=d.year - 1).strftime(fmt2)))
                 facts.append(("active", rng.choice(["true", "false"]), "true"))
                 facts.append(("birthplace", rng.choice(cities), rng.choice(cities)))
                 facts.append(("skills", "{%s}" % "|".join(rng.sample(SKILL_WORDS, 2)), "{%s}" % "|".join(rng.sample(SKILL_WORDS, 3))))
             else:
                 emp = rng.randint(50, 500_000)
                 facts.append(("employees", f"{emp:,}", f"{emp + rng.randint(1, 99):,}"))
+                # near-miss numeric synonym WITH grouping commas: the
+                # reference's numeric kernel chokes on ',' (Double.valueOf
+                # throws → exact-match fallback, scores 0) so this pair
+                # must NOT merge — the comma quirk, oracle-pinned
+                emp2 = emp + max(1, emp // 200)
+                facts.append(("staff", f"{emp2:,}", f"{emp2 + 7:,}"))
                 rev = rng.randint(1, 900)
                 facts.append(("revenue", f"{rev} MUSD", f"{rev + 5} MUSD"))
                 d = datetime(rng.randint(1900, 2020), rng.randint(1, 12), rng.randint(1, 28))
@@ -131,7 +175,10 @@ def _entity_catalog():
                 facts.append(("public", rng.choice(["true", "false"]), "false"))
                 facts.append(("headquarters", rng.choice(cities), rng.choice(cities)))
                 facts.append(("website", f"http://{slug}.example.com", f"http://www.{slug}.example.com"))
-            catalog.append({"name": name, "cls": cls, "surfaces": surfaces, "facts": facts})
+            catalog.append(
+                {"name": name, "cls": cls, "surfaces": surfaces,
+                 "nearmiss": nearmiss, "facts": facts}
+            )
     return catalog
 
 
@@ -169,7 +216,12 @@ def generate_transcripts(n_turns: int) -> pa.Table:
         # In tool turns the payload is split on '; ' — a trailing '&nbsp;'
         # would donate its ';' to the delimiter, so tool surfaces only get
         # bracket noise. Same RNG draws either way (determinism).
-        s = rng.choice(ent["surfaces"])
+        # ~6% of picks use a NEAR-MISS surface (token drop / extension):
+        # normalizes to a different key, linkable only by the fuzzy tier.
+        if rng.random() < 0.06:
+            s = rng.choice(ent["nearmiss"])
+        else:
+            s = rng.choice(ent["surfaces"])
         r = rng.random()
         if r < 0.05:
             s = s + ("&nbsp;" if allow_entity_noise else " [sic]")

@@ -99,6 +99,13 @@ mentions AS (
 """
 
 
+def _duck_date_tries(expr: str) -> str:
+    """Timestamp-valued date cascade generated from resolve.DATE_FORMATS
+    (oracle twin of parse_any_date; kept as TIMESTAMP where epoch() needs it)."""
+    tries = ", ".join(f"try_strptime({expr}, '{d}')" for _, d in resolve.DATE_FORMATS)
+    return f"coalesce({tries})"
+
+
 def cells_prelude(path: str) -> str:
     return facts_prelude(path) + f""",
 cells AS (
@@ -593,8 +600,7 @@ dates AS (
            count(*) OVER (PARTITION BY subj_norm, pred_canon) AS n
     FROM (
       SELECT subj_norm, pred_canon, ts,
-             coalesce(try_strptime(obj_raw, '%m/%d/%Y'), try_strptime(obj_raw, '%Y-%m-%d'),
-                      try_strptime(obj_raw, '%d.%m.%Y')) AS d
+             """ + _duck_date_tries("obj_raw") + """ AS d
       FROM mcells WHERE dtype_major = 'date'
     ) WHERE d IS NOT NULL
   ) WHERE rn = 1
@@ -744,31 +750,50 @@ FROM cells WHERE dtype = 'link'""",
 
     def _fuzzy_clusters(spark, sf):
         facts = _facts_ck(spark, sf)
-        pairs = fuzzy.fuzzy_self_pairs(facts.select("subj_norm")).localCheckpoint()
+        # the pipeline's default fuzzy tier: MinHash-LSH blocking + exact
+        # jaccard verify (NOT the exhaustive token self-join)
+        pairs = fuzzy.lsh_verified_pairs(facts.select("subj_norm")).localCheckpoint()
         return canonical.fuzzy_clusters(facts, pairs)
 
+    lsigs = ",\n    ".join(
+        f"min(substr(md5('{j}:' || token), 1, 16)) AS sig_{j}" for j in range(8)
+    )
+    lbands = " UNION ALL ".join(
+        f"SELECT label, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS bucket FROM sig"
+        for b in range(4)
+    )
     q(
         "kg_fuzzy_clusters",
         _fuzzy_clusters,
         facts_prelude(tpath).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
         + f""",
 lbl AS (SELECT DISTINCT subj_norm FROM facts),
-tok AS (
-  SELECT subj_norm AS key, len({duck_norm_tokens('subj_norm')}) AS ntok,
-         unnest({duck_norm_tokens('subj_norm')}) AS token
+ltok AS (
+  SELECT subj_norm AS label,
+         unnest(list_distinct({duck_norm_tokens('subj_norm')})) AS token
   FROM lbl
 ),
-tpairs AS (
-  SELECT DISTINCT a.key AS left_key, a.ntok AS ln_, b.key AS right_key,
-         b.ntok AS rn_, a.token
-  FROM tok a JOIN tok b ON a.token = b.token
+sizes AS (SELECT label, count(*) AS ntok FROM ltok GROUP BY 1),
+sig AS (SELECT label, {lsigs} FROM ltok GROUP BY label),
+bands AS ({lbands}),
+cand AS (
+  SELECT DISTINCT a.label AS lk, b.label AS rk
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.label < b.label
+),
+shared AS (
+  SELECT c.lk, c.rk, count(*) AS sh
+  FROM cand c
+  JOIN ltok a ON a.label = c.lk
+  JOIN ltok b ON b.label = c.rk AND b.token = a.token
+  GROUP BY 1, 2
 ),
 fp AS (
-  SELECT left_key, right_key FROM (
-    SELECT left_key, right_key, ln_, rn_, count(*) AS shared_tokens
-    FROM tpairs GROUP BY 1, 2, 3, 4
-  ) WHERE round(shared_tokens / (ln_ + rn_ - shared_tokens), 4) >= 0.5
-    AND left_key < right_key
+  SELECT lk AS left_key, rk AS right_key
+  FROM shared
+  JOIN sizes s1 ON s1.label = lk
+  JOIN sizes s2 ON s2.label = rk
+  WHERE round(sh / (s1.ntok + s2.ntok - sh), 4) >= 0.5
 ),
 edges AS (SELECT left_key AS src, right_key AS dst FROM fp
           UNION ALL SELECT right_key, left_key FROM fp),
@@ -1027,12 +1052,9 @@ WHERE levenshtein(a.pred_raw, b.pred_raw) <= 3""",
             resolve.parse_any_date(F.col("obj_raw")).cast("string").alias("iso_date"),
         ),
         cells_prelude(tpath)
-        + """
+        + f"""
 SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
-       CAST(CAST(coalesce(try_strptime(obj_raw, '%m/%d/%Y'),
-                          try_strptime(obj_raw, '%Y-%m-%d'),
-                          try_strptime(obj_raw, '%d.%m.%Y')) AS DATE) AS VARCHAR)
-         AS iso_date
+       CAST({resolve.duck_parse_date('obj_raw')} AS VARCHAR) AS iso_date
 FROM cells WHERE dtype = 'date'""",
     )
 

@@ -20,9 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from mannheimsearchjoinsengine_spark.functions.units import unit_alternation
+
 LIST_RE = r"^\{.+\|.+\}$"
-UNIT_RE = r"^-?[0-9][0-9,]*(\.[0-9]+)? (km2|cm|kg|musd|mi2|m2|mm|m|km)$"
-DATE_RE = r"^([0-9]{2}/[0-9]{2}/[0-9]{4}|[0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{2}\.[0-9]{2}\.[0-9]{4})$"
+# unit alternation generated from the one conversion table (functions/units)
+UNIT_RE = rf"^-?[0-9][0-9,]*(\.[0-9]+)? ({unit_alternation()})$"
+# shape gate for the date-parse cascade (resolve.DATE_FORMATS); mirrors the
+# reference's regex→format dispatch table (parsers/DateUtil.java:45-123).
+# [a-z] because the cascade input is lowercased first — like the reference,
+# "May 05 1987" (3-letter full month) falls through the {4,} branch to
+# string, replicating DateUtil's own ^[a-z]{4,}... gap.
+DATE_RE = (
+    r"^([0-9]{2}/[0-9]{2}/[0-9]{4}|[0-9]{4}-[0-9]{2}-[0-9]{2}"
+    r"|[0-9]{2}\.[0-9]{2}\.[0-9]{4}|[0-9]{4}/[0-9]{2}/[0-9]{2}"
+    r"|[0-9]{2}-[0-9]{2}-[0-9]{4}|[0-9]{8}"
+    r"|[0-9]{2} [a-z]{3,} [0-9]{4}|[a-z]{4,} [0-9]{2} [0-9]{4}"
+    r"|[0-9]{2}\.[0-9]{4})$"
+)
 BOOL_RE = r"^(true|false)$"
 LINK_RE = r"^(https?://|www\.)"
 COORD_RE = r"^-?[0-9]+\.[0-9]+, -?[0-9]+\.[0-9]+$"

@@ -31,19 +31,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# abbreviation -> (base_unit, rate); the synthetic corpus subset of the
-# reference's Units/Convertible/*.txt tables (units/UnitManager.java:162-240).
-UNIT_RATES: dict[str, tuple[str, float]] = {
-    "mm": ("m", 0.001),
-    "cm": ("m", 0.01),
-    "m": ("m", 1.0),
-    "km": ("m", 1000.0),
-    "m2": ("m2", 1.0),
-    "km2": ("m2", 1_000_000.0),
-    "mi2": ("m2", 2_589_988.110336),
-    "kg": ("kg", 1.0),
-    "musd": ("usd", 1_000_000.0),
-}
+# abbreviation -> (base_unit, rate): the reference's Units/Convertible
+# tables re-derived in functions/units.py (units/UnitManager.java:162-240);
+# re-exported here because the fusion stage is the conversion call site.
+from mannheimsearchjoinsengine_spark.functions.units import UNIT_RATES  # noqa: E402
 
 COLUMN_DENSITY = 0.3  # searchJoins.conf:73 data.columnDensity
 ROW_DENSITY = 0.3  # searchJoins.conf:74 data.rowDensity

@@ -67,7 +67,49 @@ def token_jaccard_join(
 
 
 def fuzzy_self_pairs(labels: DataFrame, tau: float = TAU_DEFAULT, col: str = "subj_norm") -> DataFrame:
-    """Self-similarity pairs (undirected, left < right) — the
-    canonicalization edge list."""
+    """Self-similarity pairs (undirected, left < right) — the FastJoin
+    parity surface (J4). Exact over ALL token-sharing pairs; for the
+    pipeline's canonicalization tier prefer lsh_verified_pairs (bounded
+    candidates per band bucket — no token-hub quadratics)."""
     pairs = token_jaccard_join(labels, labels, tau, col, col)
     return pairs.filter(F.col("left_key") < F.col("right_key"))
+
+
+def verify_candidate_pairs(
+    cand: DataFrame, labels: DataFrame, tau: float = TAU_DEFAULT, col: str = "subj_norm"
+) -> DataFrame:
+    """Exact token-Jaccard verification of a (left_key, right_key) candidate
+    list: join each side to its token SET (array ops, codegen — no explode,
+    no token self-join) and keep pairs with jaccard ≥ τ. The candidate list
+    is blocking-bounded (MinHash bands), so this is a small broadcast join
+    at any scale."""
+    toks = labels.select(col).distinct().select(
+        F.col(col).alias("k"), F.array_distinct(norm_tokens(F.col(col))).alias("tk")
+    )
+    lt = toks.select(F.col("k").alias("left_key"), F.col("tk").alias("lt"))
+    rt = toks.select(F.col("k").alias("right_key"), F.col("tk").alias("rt"))
+    j = cand.join(lt, "left_key").join(rt, "right_key")
+    inter = F.size(F.array_intersect("lt", "rt"))
+    jac = F.round(inter / (F.size("lt") + F.size("rt") - inter), 4)
+    return (
+        j.select("left_key", "right_key", inter.alias("shared_tokens"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def lsh_verified_pairs(
+    labels: DataFrame, tau: float = TAU_DEFAULT, col: str = "subj_norm"
+) -> DataFrame:
+    """The pipeline's default fuzzy-candidate path (north rule): MinHash-LSH
+    banding bounds candidate generation per band bucket (canonical.
+    minhash_candidate_pairs), then exact token-Jaccard verifies. No token-
+    block self-join anywhere — a token shared by k labels never yields k²
+    rows. LSH recall < 1 vs the exhaustive join by construction; the
+    refimpl oracle replicates the same md5 MinHash so tests are exact."""
+    from mannheimsearchjoinsengine_spark.operators.canonical import (
+        minhash_candidate_pairs,
+    )
+
+    lbl = labels.select(col).distinct().localCheckpoint()
+    cand = minhash_candidate_pairs(lbl, col)
+    return verify_candidate_pairs(cand, lbl, tau, col)

@@ -35,14 +35,42 @@ from pyspark.sql import functions as F
 
 from mannheimsearchjoinsengine_spark.functions.typeguess import parse_numeric
 
-DATE_PATTERNS = ["MM/dd/yyyy", "yyyy-MM-dd", "dd.MM.yyyy"]
+# (spark_format, duckdb_strptime_format) — LIST ORDER IS THE DISPATCH
+# PRIORITY, mirroring the reference's regex→SimpleDateFormat table
+# (``parsers/DateUtil.java:45-123``). dd/MM/yyyy directly after MM/dd/yyyy
+# replicates DateUtil.parse's explicit fallback (``DateUtil.java:184-192``):
+# a slashed date whose first field can't be a month re-parses day-first;
+# day ≤ 12 is (faithfully) month-first. Both engines' oracles are generated
+# from THIS table so the cascade can't drift.
+DATE_FORMATS: list[tuple[str, str]] = [
+    ("MM/dd/yyyy", "%m/%d/%Y"),
+    ("dd/MM/yyyy", "%d/%m/%Y"),
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("yyyy/MM/dd", "%Y/%m/%d"),
+    ("dd.MM.yyyy", "%d.%m.%Y"),
+    ("dd-MM-yyyy", "%d-%m-%Y"),
+    ("yyyyMMdd", "%Y%m%d"),
+    ("dd MMM yyyy", "%d %b %Y"),
+    ("dd MMMM yyyy", "%d %B %Y"),
+    ("MMMM dd yyyy", "%B %d %Y"),
+    ("MM.yyyy", "%m.%Y"),
+]
+
+DATE_PATTERNS = [s for s, _ in DATE_FORMATS]  # spark-side list
 
 
 def parse_any_date(col: Column) -> Column:
-    """~50-format cascade of ``parsers/DateUtil.java:179-217`` reduced to the
-    corpus's formats; extendable alternation, native `try_to_date`
-    (ANSI-safe: wrong-format values fall through to the next pattern)."""
+    """Format cascade of ``parsers/DateUtil.java:45-123,179-217`` reduced to
+    the unambiguous day-grain formats; native `try_to_date` (ANSI-safe:
+    wrong-format values fall through to the next pattern)."""
     return F.coalesce(*[F.try_to_date(col, p) for p in DATE_PATTERNS])
+
+
+def duck_parse_date(expr: str) -> str:
+    """DuckDB twin of :func:`parse_any_date` — generated from the SAME
+    format table, as a DATE (strptime yields TIMESTAMP)."""
+    tries = ", ".join(f"try_strptime({expr}, '{d}')" for _, d in DATE_FORMATS)
+    return f"CAST(coalesce({tries}) AS DATE)"
 
 
 def resolve_voting(cells: DataFrame, keys=("subj_norm", "pred_canon")) -> DataFrame:

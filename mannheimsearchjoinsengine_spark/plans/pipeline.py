@@ -39,13 +39,15 @@ def run_pipeline(
     With ``checkpoint_root`` set, each stage materializes through the ledger
     (kill + re-run resumes from the last completed stage).
 
-    ``fuzzy_canonical=True`` clusters surface forms through the fuzzy tier
-    (token-Jaccard candidate pairs → connected components) instead of exact
-    norm-key grouping — the MinHash-LSH + CC path of the north rule. On the
-    synthetic corpus both tiers produce identical clusters (every variant
-    normalizes to the same key; no cross-entity pair reaches τ), so the
-    P/R gate holds for either; on noisy real data the fuzzy tier merges
-    typo variants the exact tier misses."""
+    ``fuzzy_canonical=True`` clusters surface forms through the fuzzy tier —
+    MinHash-LSH candidate blocking → exact token-Jaccard verify → connected
+    components (the north rule's canonicalization path). Candidates are
+    bounded per band bucket, so no token-hub quadratics at any scale; the
+    exhaustive token-block join (fuzzy.fuzzy_self_pairs) stays available as
+    the J4/FastJoin parity surface but is NOT on the pipeline path. The
+    synthetic corpus emits near-miss surfaces (token drops/extensions), so
+    the fuzzy tier genuinely merges keys the exact tier cannot; the P/R
+    gate for this path runs against the refimpl's identical md5-MinHash."""
     transcripts = load_transcripts(spark, sf_dir)
     ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
     # fingerprint from the parquet footer — no Spark job for a row count
@@ -80,12 +82,12 @@ def run_pipeline(
     )
     if fuzzy_canonical:
         from mannheimsearchjoinsengine_spark.operators.canonical import fuzzy_clusters
-        from mannheimsearchjoinsengine_spark.operators.fuzzy import fuzzy_self_pairs
+        from mannheimsearchjoinsengine_spark.operators.fuzzy import lsh_verified_pairs
 
         clusters = stage(
             "clusters",
             lambda: fuzzy_clusters(
-                facts, fuzzy_self_pairs(facts.select("subj_norm")).localCheckpoint()
+                facts, lsh_verified_pairs(facts.select("subj_norm")).localCheckpoint()
             ).select("subj_norm", "canonical_label"),
         )
     else:

@@ -9,6 +9,7 @@ Spark engine cannot share a root cause with it.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from collections import Counter, defaultdict
 from datetime import datetime, timezone
@@ -23,9 +24,19 @@ NONWORD_RE = re.compile(r"[^a-z0-9]+")
 WS_RE = re.compile(r"\s+")
 
 LIST_RE = re.compile(r"^\{.+\|.+\}$")
-UNIT_RE = re.compile(r"^-?[0-9][0-9,]*(\.[0-9]+)? (km2|cm|kg|musd|mi2|m2|mm|m|km)$")
+# spec constants duplicated on purpose (independent implementation); keep in
+# sync with functions/units.unit_alternation() and typeguess.DATE_RE
+UNIT_RE = re.compile(
+    r"^-?[0-9][0-9,]*(\.[0-9]+)? "
+    r"(acre|musd|sqft|sqyd|cm2|km2|mi2|min|mm2|nmi|cm|dm|ft|ha|in|kg|km|lb"
+    r"|m2|mg|mi|mm|ms|oz|st|yd|d|g|h|m|s|t)$"
+)
 DATE_RE = re.compile(
-    r"^([0-9]{2}/[0-9]{2}/[0-9]{4}|[0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{2}\.[0-9]{2}\.[0-9]{4})$"
+    r"^([0-9]{2}/[0-9]{2}/[0-9]{4}|[0-9]{4}-[0-9]{2}-[0-9]{2}"
+    r"|[0-9]{2}\.[0-9]{2}\.[0-9]{4}|[0-9]{4}/[0-9]{2}/[0-9]{2}"
+    r"|[0-9]{2}-[0-9]{2}-[0-9]{4}|[0-9]{8}"
+    r"|[0-9]{2} [a-z]{3,} [0-9]{4}|[a-z]{4,} [0-9]{2} [0-9]{4}"
+    r"|[0-9]{2}\.[0-9]{4})$"
 )
 BOOL_RE = re.compile(r"^(true|false)$")
 LINK_RE = re.compile(r"^(https?://|www\.)")
@@ -69,7 +80,11 @@ def guess_type(v: str) -> str:
 
 
 def parse_date(v: str):
-    for fmt in ("%m/%d/%Y", "%Y-%m-%d", "%d.%m.%Y"):
+    # same order as resolve.DATE_FORMATS (incl. the MM/dd → dd/MM fallback)
+    for fmt in (
+        "%m/%d/%Y", "%d/%m/%Y", "%Y-%m-%d", "%Y/%m/%d", "%d.%m.%Y",
+        "%d-%m-%Y", "%Y%m%d", "%d %b %Y", "%d %B %Y", "%B %d %Y", "%m.%Y",
+    ):
         try:
             return datetime.strptime(v, fmt)
         except ValueError:
@@ -124,8 +139,51 @@ def merge_map(facts: list[dict]) -> dict[str, str]:
     return mapping
 
 
-def triples(path: str) -> set[tuple[str, str, str, str]]:
-    """(subj, pred, obj, obj_dtype) set per the engine's full-pipeline spec."""
+def fuzzy_label_map(facts: list[dict]) -> dict[str, str]:
+    """subj_norm → component-min subj_norm via the SAME md5-MinHash-LSH
+    blocking (8 hashes, 4 bands of 2) + exact token-jaccard ≥ 0.5 verify the
+    engine uses (canonical.minhash_candidate_pairs + fuzzy.verify_candidate_
+    pairs + connected components), re-implemented with dict/union-find."""
+    labels = sorted({f["subj"] for f in facts})
+    toks = {l: set(t for t in l.split(" ") if t) for l in labels}
+    buckets = defaultdict(list)
+    for l in labels:
+        ts = toks[l]
+        if not ts:
+            continue
+        sig = [
+            min(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:16] for t in ts)
+            for j in range(8)
+        ]
+        for b in range(4):
+            buckets[(b, sig[2 * b], sig[2 * b + 1])].append(l)
+    parent = {l: l for l in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ls in buckets.values():
+        for i in range(len(ls)):
+            for j in range(i + 1, len(ls)):
+                a, b = ls[i], ls[j]
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if union and round(inter / union, 4) >= 0.5:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # min-id root = the engines' component semantics
+                        parent[max(ra, rb)] = min(ra, rb)
+    return {l: find(l) for l in labels}
+
+
+def triples(path: str, fuzzy: bool = False) -> set[tuple[str, str, str, str]]:
+    """(subj, pred, obj, obj_dtype) set per the engine's full-pipeline spec.
+    ``fuzzy=True`` relabels subjects through the fuzzy-canonical tier
+    (cluster label = min exact-tier label over cluster members), matching
+    run_pipeline(fuzzy_canonical=True)."""
     facts = extract_facts(path)
     mm = merge_map(facts)
     for f in facts:
@@ -136,6 +194,16 @@ def triples(path: str) -> set[tuple[str, str, str, str]]:
     for f in facts:
         labels[f["subj"]].append(display(f["surface"]))
     canon = {k: min(v) for k, v in labels.items()}
+    if fuzzy:
+        fm = fuzzy_label_map(facts)
+        members = defaultdict(list)
+        for l in canon:
+            members[fm[l]].append(l)
+        canon = {
+            l: min(canon[m] for m in ms)
+            for ms in members.values()
+            for l in ms
+        }
 
     # per-(subj, pred) majority dtype, ties → dtype asc
     groups = defaultdict(list)

@@ -69,10 +69,14 @@ def test_checkpoint_resume_identical(spark, sf_dir, tmp_path_factory):
 
 
 def test_fuzzy_canonical_pipeline_matches_oracle(spark, sf_dir):
-    """North-rule canonicalization path (fuzzy pairs -> CC): on this corpus
-    fuzzy and exact tiers yield identical clusters, so the triple set must
-    equal the oracle's too."""
-    expected = oracle.triples(ensure_transcripts(sf_dir))
+    """North-rule canonicalization path (MinHash-LSH blocking → jaccard
+    verify → CC): the corpus emits near-miss surfaces, so the fuzzy tier
+    genuinely merges keys the exact tier cannot — compare against the
+    refimpl's identical md5-MinHash fuzzy mode, and assert it actually
+    differs from the exact tier (non-vacuous)."""
+    path = ensure_transcripts(sf_dir)
+    expected = oracle.triples(path, fuzzy=True)
+    assert expected != oracle.triples(path), "fuzzy tier should merge something"
     got = {
         (r.subj, r.pred, r.obj, r.obj_dtype)
         for r in run_pipeline(spark, sf_dir, fuzzy_canonical=True)["triples"]
@@ -80,4 +84,5 @@ def test_fuzzy_canonical_pipeline_matches_oracle(spark, sf_dir):
         .collect()
     }
     tp = len(got & expected)
-    assert tp / len(got) >= 0.95 and tp / len(expected) >= 0.95
+    assert tp / len(got) >= 0.95, sorted(got - expected)[:5]
+    assert tp / len(expected) >= 0.95, sorted(expected - got)[:5]
