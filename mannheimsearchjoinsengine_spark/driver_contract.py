@@ -99,6 +99,60 @@ mentions AS (
 """
 
 
+def fuzzy_closure_body() -> str:
+    """CTE chain ``lbl → … → comp``: the fuzzy tier's oracle twin —
+    md5-MinHash signatures (8 hashes, 4 bands of 2) over label tokens, LSH
+    band buckets → candidate pairs → exact token-jaccard ≥ 0.5 verify →
+    recursive min-reachability closure. Mirrors
+    canonical.minhash_candidate_pairs + fuzzy.verify_candidate_pairs +
+    canonical.connected_components. Requires a ``facts`` CTE and a
+    WITH RECURSIVE prelude."""
+    lsigs = ",\n    ".join(
+        f"min(substr(md5('{j}:' || token), 1, 16)) AS sig_{j}" for j in range(8)
+    )
+    lbands = " UNION ALL ".join(
+        f"SELECT label, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f""",
+lbl AS (SELECT DISTINCT subj_norm FROM facts),
+ltok AS (
+  SELECT subj_norm AS label,
+         unnest(list_distinct({duck_norm_tokens('subj_norm')})) AS token
+  FROM lbl
+),
+lsizes AS (SELECT label, count(*) AS ntok FROM ltok GROUP BY 1),
+sig AS (SELECT label, {lsigs} FROM ltok GROUP BY label),
+bands AS ({lbands}),
+lcand AS (
+  SELECT DISTINCT a.label AS lk, b.label AS rk
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.label < b.label
+),
+lshared AS (
+  SELECT c.lk, c.rk, count(*) AS sh
+  FROM lcand c
+  JOIN ltok a ON a.label = c.lk
+  JOIN ltok b ON b.label = c.rk AND b.token = a.token
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT lk AS left_key, rk AS right_key
+  FROM lshared
+  JOIN lsizes s1 ON s1.label = lk
+  JOIN lsizes s2 ON s2.label = rk
+  WHERE round(sh / (s1.ntok + s2.ntok - sh), 4) >= 0.5
+),
+edges AS (SELECT left_key AS src, right_key AS dst FROM fp
+          UNION ALL SELECT right_key, left_key FROM fp),
+reach(node, r) AS (
+  SELECT subj_norm, subj_norm FROM (SELECT DISTINCT subj_norm FROM facts)
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)"""
+
+
 def _duck_date_tries(expr: str) -> str:
     """Timestamp-valued date cascade generated from resolve.DATE_FORMATS
     (oracle twin of parse_any_date; kept as TIMESTAMP where epoch() needs it)."""
@@ -225,6 +279,27 @@ def _ccells_ck(spark: SparkSession, sf: str) -> DataFrame:
     cells = _cells_ck(spark, sf)
     mm = match.pred_merge_map(cells).localCheckpoint()
     return cells.join(F.broadcast(mm), "pred_raw")
+
+
+def _canon_cells_ck(spark: SparkSession, sf: str) -> DataFrame:
+    """Cells with subj_norm replaced by its fuzzy-canonical cluster key —
+    the reference scores duplicate columns AFTER key consolidation (the
+    FastJoin step precedes schema matching), so typed instance scoring
+    aligns on the consolidated key, not the raw surface key."""
+    cells = _cells_ck(spark, sf)
+    pairs = fuzzy.lsh_verified_pairs(cells.select("subj_norm")).localCheckpoint()
+    comp = canonical.connected_components(
+        pairs.select(F.col("left_key").alias("src"), F.col("right_key").alias("dst"))
+    )
+    m = comp.select(
+        F.col("node").alias("subj_norm"), F.col("component").alias("cluster_key")
+    )
+    return (
+        cells.join(F.broadcast(m), "subj_norm", "left")
+        .withColumn("subj_norm", F.coalesce("cluster_key", "subj_norm"))
+        .drop("cluster_key")
+        .localCheckpoint()
+    )
 
 
 def _triples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +720,135 @@ JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
 # scoring + similarity queries (F1, F3, F13, W2, ScoreEvaluator modes)
 # --------------------------------------------------------------------------
 
+def typed_scores_body() -> str:
+    """CTE chain ``cancells → … → typed``: oracle twin of
+    match.typed_pair_scores over fuzzy-canonicalized cells (requires
+    cells_prelude + fuzzy_closure_body)."""
+    from mannheimsearchjoinsengine_spark.functions.similarity import duck_string_sim_24
+
+    ex = "CASE WHEN v1 = v2 THEN 1.0 ELSE 0.0 END"
+    dstr = f"CAST({_duck_date_tries('obj_raw')} AS DATE)"
+    return f""",
+cancells AS (
+  SELECT c.* REPLACE (coalesce(k.component, c.subj_norm) AS subj_norm)
+  FROM cells c LEFT JOIN comp k ON c.subj_norm = k.node
+),
+rep AS (
+  SELECT pred_raw, subj_norm, obj_raw FROM (
+    SELECT pred_raw, subj_norm, obj_raw,
+           row_number() OVER (PARTITION BY pred_raw, subj_norm
+                              ORDER BY ts ASC, obj_raw ASC) AS rn
+    FROM cancells) WHERE rn = 1
+),
+pmaj AS (
+  SELECT pred_raw, dtype AS dtype_major FROM (
+    SELECT pred_raw, dtype,
+           row_number() OVER (PARTITION BY pred_raw
+                              ORDER BY count(*) DESC, dtype ASC) AS rn
+    FROM cancells GROUP BY pred_raw, dtype) WHERE rn = 1
+),
+rept AS (SELECT r.*, m.dtype_major FROM rep r JOIN pmaj m USING (pred_raw)),
+psizes AS (
+  SELECT pred_raw, dtype_major, count(*) AS n_subj,
+         min(CASE WHEN dtype_major = 'date' THEN {dstr} END) AS dmin,
+         max(CASE WHEN dtype_major = 'date' THEN {dstr} END) AS dmax
+  FROM rept GROUP BY 1, 2
+),
+ppairs AS (
+  SELECT s1.pred_raw AS pred1, s2.pred_raw AS pred2,
+         s1.dtype_major AS dtype, s1.n_subj AS n1, s2.n_subj AS n2,
+         date_diff('day', least(s1.dmin, s2.dmin),
+                   greatest(s1.dmax, s2.dmax)) AS range_days
+  FROM psizes s1 JOIN psizes s2
+    ON s1.dtype_major = s2.dtype_major AND s1.pred_raw < s2.pred_raw
+),
+aligned AS (
+  SELECT p.pred1, p.pred2, p.dtype, p.range_days,
+         a.obj_raw AS v1, b.obj_raw AS v2
+  FROM rept a
+  JOIN rept b ON a.subj_norm = b.subj_norm AND a.pred_raw < b.pred_raw
+  JOIN ppairs p ON p.pred1 = a.pred_raw AND p.pred2 = b.pred_raw
+),
+prek AS (
+  SELECT pred1, pred2, dtype, range_days, v1, v2,
+         try_cast(regexp_replace(v1, '[^0-9.,-]', '', 'g') AS DOUBLE) AS d1,
+         try_cast(regexp_replace(v2, '[^0-9.,-]', '', 'g') AS DOUBLE) AS d2,
+         CAST({_duck_date_tries('v1')} AS DATE) AS dd1,
+         CAST({_duck_date_tries('v2')} AS DATE) AS dd2
+  FROM aligned
+),
+kern AS (
+  SELECT pred1, pred2,
+    CASE
+      WHEN dtype IN ('numeric', 'unit', 'coordinate') THEN
+        CASE WHEN d1 IS NOT NULL AND d2 IS NOT NULL THEN
+          CASE WHEN d1 = d2 THEN 1.0
+               ELSE 0.5 * least(abs(d1), abs(d2)) / greatest(abs(d1), abs(d2)) END
+        ELSE {ex} END
+      WHEN dtype = 'date' THEN
+        CASE WHEN dd1 IS NOT NULL AND dd2 IS NOT NULL AND range_days > 0
+             THEN abs(date_diff('day', dd2, dd1)) / range_days
+             ELSE {ex} END
+      WHEN dtype = 'bool' THEN
+        CASE WHEN lower(v1) IN ('true', 'false') AND lower(v1) = lower(v2)
+             THEN 1.0 ELSE {ex} END
+      WHEN dtype = 'string' THEN
+        CASE WHEN length(v1) <= 100 AND length(v2) <= 100
+             THEN {duck_string_sim_24('v1', 'v2')}
+             ELSE {ex} END
+      ELSE {ex}
+    END AS s
+  FROM prek
+),
+pboth AS (
+  SELECT pred1, pred2, count(*) AS n_both, sum(s) AS sum_s,
+         CAST(sum(CASE WHEN s = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+  FROM kern GROUP BY 1, 2
+),
+typed AS MATERIALIZED (
+  SELECT p.pred1, p.pred2, p.dtype, p.n1, p.n2,
+         coalesce(b.n_both, 0) AS n_both,
+         p.n1 + p.n2 - coalesce(b.n_both, 0) AS n_rows,
+         p.n1 + p.n2 - 2 * coalesce(b.n_both, 0) AS n_complement,
+         round(coalesce(b.sum_s, 0.0), 4) AS sum_sim,
+         coalesce(b.n_exact, 0) AS n_exact,
+         CASE WHEN p.n1 + p.n2 - coalesce(b.n_both, 0) > 0
+              THEN round(coalesce(b.sum_s, 0.0)
+                         / (p.n1 + p.n2 - coalesce(b.n_both, 0)), 4)
+              ELSE 0.0 END AS avg_sim
+  FROM ppairs p LEFT JOIN pboth b USING (pred1, pred2)
+)"""
+
+
+def marriage_rounds_body(rounds: int = 8) -> str:
+    """Unrolled greedy-marriage rounds (oracle twin of
+    match.greedy_marriage, same max_rounds bound): each round accepts the
+    locally-dominant edges (no adjacent edge with higher (s, pred1, pred2)
+    priority) and removes everything touching them."""
+    parts = [
+        """rem0 AS MATERIALIZED (
+  SELECT pred1, pred2, avg_sim AS s FROM typed
+  WHERE avg_sim >= CASE WHEN dtype = 'string'
+                        THEN {st} ELSE {nt} END
+)""".format(st=match.STRING_TAU, nt=match.NUMERIC_TAU)
+    ]
+    for k in range(rounds):
+        parts.append(f"""acc{k} AS MATERIALIZED (
+  SELECT * FROM rem{k} e WHERE NOT EXISTS (
+    SELECT 1 FROM rem{k} o
+    WHERE NOT (o.pred1 = e.pred1 AND o.pred2 = e.pred2)
+      AND (o.pred1 IN (e.pred1, e.pred2) OR o.pred2 IN (e.pred1, e.pred2))
+      AND (o.s > e.s OR (o.s = e.s AND (o.pred1 < e.pred1
+           OR (o.pred1 = e.pred1 AND o.pred2 < e.pred2))))))""")
+        parts.append(f"""rem{k + 1} AS MATERIALIZED (
+  SELECT * FROM rem{k} e WHERE NOT EXISTS (
+    SELECT 1 FROM acc{k} a
+    WHERE a.pred1 IN (e.pred1, e.pred2) OR a.pred2 IN (e.pred1, e.pred2)))""")
+    accs = " UNION ALL ".join(f"SELECT * FROM acc{k}" for k in range(rounds))
+    parts.append(f"acc AS ({accs})")
+    return ",\n" + ",\n".join(parts)
+
+
 def _register_scoring_queries(q, tpath: str) -> None:
     from mannheimsearchjoinsengine_spark.functions import similarity as S
 
@@ -755,54 +959,12 @@ FROM cells WHERE dtype = 'link'""",
         pairs = fuzzy.lsh_verified_pairs(facts.select("subj_norm")).localCheckpoint()
         return canonical.fuzzy_clusters(facts, pairs)
 
-    lsigs = ",\n    ".join(
-        f"min(substr(md5('{j}:' || token), 1, 16)) AS sig_{j}" for j in range(8)
-    )
-    lbands = " UNION ALL ".join(
-        f"SELECT label, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS bucket FROM sig"
-        for b in range(4)
-    )
     q(
         "kg_fuzzy_clusters",
         _fuzzy_clusters,
         facts_prelude(tpath).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + fuzzy_closure_body()
         + f""",
-lbl AS (SELECT DISTINCT subj_norm FROM facts),
-ltok AS (
-  SELECT subj_norm AS label,
-         unnest(list_distinct({duck_norm_tokens('subj_norm')})) AS token
-  FROM lbl
-),
-sizes AS (SELECT label, count(*) AS ntok FROM ltok GROUP BY 1),
-sig AS (SELECT label, {lsigs} FROM ltok GROUP BY label),
-bands AS ({lbands}),
-cand AS (
-  SELECT DISTINCT a.label AS lk, b.label AS rk
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.label < b.label
-),
-shared AS (
-  SELECT c.lk, c.rk, count(*) AS sh
-  FROM cand c
-  JOIN ltok a ON a.label = c.lk
-  JOIN ltok b ON b.label = c.rk AND b.token = a.token
-  GROUP BY 1, 2
-),
-fp AS (
-  SELECT lk AS left_key, rk AS right_key
-  FROM shared
-  JOIN sizes s1 ON s1.label = lk
-  JOIN sizes s2 ON s2.label = rk
-  WHERE round(sh / (s1.ntok + s2.ntok - sh), 4) >= 0.5
-),
-edges AS (SELECT left_key AS src, right_key AS dst FROM fp
-          UNION ALL SELECT right_key, left_key FROM fp),
-reach(node, r) AS (
-  SELECT subj_norm, subj_norm FROM (SELECT DISTINCT subj_norm FROM facts)
-  UNION
-  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
-),
-comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
 ex AS (SELECT subj_norm, min({_DISPLAY}) AS canonical_label FROM facts GROUP BY 1),
 wc AS (
   SELECT ex.subj_norm, coalesce(c.component, ex.subj_norm) AS cluster_id,
@@ -812,6 +974,42 @@ wc AS (
 clabel AS (SELECT cluster_id, min(canonical_label) AS cluster_label FROM wc GROUP BY 1)
 SELECT wc.subj_norm, wc.cluster_id, clabel.cluster_label AS canonical_label
 FROM wc JOIN clabel ON wc.cluster_id = clabel.cluster_id""",
+    )
+
+    typed_prelude = (
+        cells_prelude(tpath).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + fuzzy_closure_body()
+        + typed_scores_body()
+    )
+    q(
+        "kg_pred_typed_scores",
+        lambda spark, sf: match.typed_pair_scores(_canon_cells_ck(spark, sf)),
+        typed_prelude
+        + """
+SELECT pred1, pred2, dtype, n1, n2, n_both, n_rows, n_complement,
+       sum_sim, n_exact, avg_sim
+FROM typed""",
+    )
+
+    q(
+        "kg_pred_typed_merge",
+        lambda spark, sf: match.typed_merge_map(_canon_cells_ck(spark, sf)),
+        typed_prelude
+        + marriage_rounds_body()
+        + """,
+married AS (
+  SELECT a.pred1, a.pred2, p.n1, p.n2 FROM acc a JOIN typed p USING (pred1, pred2)
+),
+mmap AS (
+  SELECT CASE WHEN n1 > n2 OR (n1 = n2 AND pred1 < pred2)
+              THEN pred2 ELSE pred1 END AS pred_raw,
+         CASE WHEN n1 > n2 OR (n1 = n2 AND pred1 < pred2)
+              THEN pred1 ELSE pred2 END AS pred_canon
+  FROM married
+)
+SELECT p.pred_raw, coalesce(m.pred_canon, p.pred_raw) AS pred_canon
+FROM (SELECT DISTINCT pred_raw FROM cancells) p
+LEFT JOIN mmap m USING (pred_raw)""",
     )
 
     q(

@@ -71,6 +71,28 @@ def deviation(sim: Column) -> Column:
     return F.round(1 - sim, 4)
 
 
+def char_ngrams_24(col: Column) -> Column:
+    """Distinct lowercase 2-, 3- and 4-grams combined — the
+    ``NGramTokenizer(2, 4, true, new SimpleTokenizer(true, true))`` token
+    universe of the reference's string-value comparison
+    (``InstanceBasedComparer.java:553-560``)."""
+    c = F.lower(col)
+    return F.array_distinct(
+        F.concat(char_ngrams(c, 2), char_ngrams(c, 3), char_ngrams(c, 4))
+    )
+
+
+def string_sim_24(a: Column, b: Column) -> Column:
+    """Jaccard over combined 2-4-grams; empty gram universe → exact 0/1
+    (documented stand-in for secondstring's degenerate-input behavior)."""
+    ga, gb = char_ngrams_24(a), char_ngrams_24(b)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(ga) + F.size(gb) - inter
+    return F.when(union > 0, inter / union).otherwise(
+        F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
 # ---------------------------------------------------------------- DuckDB twins
 
 def duck_char_ngrams(expr: str, n: int) -> str:
@@ -93,4 +115,20 @@ def duck_numeric_similarity(a: str, b: str) -> str:
     return (
         f"CASE WHEN {a} = {b} THEN 1.0 ELSE "
         f"round(0.5 * least(abs({a}), abs({b})) / greatest(abs({a}), abs({b})), 4) END"
+    )
+
+
+def duck_char_ngrams_24(expr: str) -> str:
+    lc = f"lower({expr})"
+    g = " || ".join(duck_char_ngrams(lc, n) for n in (2, 3, 4))
+    return f"list_distinct({g})"
+
+
+def duck_string_sim_24(a: str, b: str) -> str:
+    ga, gb = duck_char_ngrams_24(a), duck_char_ngrams_24(b)
+    inter = f"len(list_intersect({ga}, {gb}))"
+    union = f"(len({ga}) + len({gb}) - {inter})"
+    return (
+        f"CASE WHEN {union} > 0 THEN {inter} / {union} "
+        f"ELSE (CASE WHEN {a} = {b} THEN 1.0 ELSE 0.0 END) END"
     )

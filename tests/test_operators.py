@@ -139,6 +139,75 @@ def test_connected_components_shuffled_forest(spark):
     assert comp == {"k": "b", "d": "b", "b": "b", "z": "m", "m": "m", "t": "m"}
 
 
+def _typed_cells_df(spark):
+    """4 fully-aligned subjects; 'staff' only on 3 (one complement row)."""
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i, s in enumerate(["s1", "s2", "s3", "s4"]):
+        v = 100 + i
+        t = lambda k: base + dt.timedelta(minutes=i, seconds=k)  # noqa: E731
+        rows += [
+            Row(subj_norm=s, pred_raw="age", obj_raw=str(v), ts=t(0)),
+            Row(subj_norm=s, pred_raw="years", obj_raw=str(v + 1), ts=t(1)),
+            Row(subj_norm=s, pred_raw="emp", obj_raw=f"{v * 1000:,}", ts=t(2)),
+            Row(subj_norm=s, pred_raw="born", obj_raw=f"200{i}-01-01", ts=t(4)),
+            Row(subj_norm=s, pred_raw="bdate", obj_raw=f"200{i}-01-01", ts=t(5)),
+        ]
+        if s != "s4":
+            rows.append(
+                Row(subj_norm=s, pred_raw="staff", obj_raw=f"{v * 1000 + 5:,}", ts=t(3))
+            )
+    df = spark.createDataFrame(rows)
+    return df.withColumn("dtype", guess_type(F.col("obj_raw")))
+
+
+def test_typed_pair_scores_kernels_and_quirks(spark):
+    from mannheimsearchjoinsengine_spark.operators.match import typed_pair_scores
+
+    s = {(r.pred1, r.pred2): r for r in typed_pair_scores(_typed_cells_df(spark)).collect()}
+    # numeric kernel: comma-free near-miss values score ~0.5·min/max
+    ay = s[("age", "years")]
+    assert ay.n_both == ay.n_rows == 4 and ay.n_complement == 0
+    assert 0.49 <= ay.avg_sim <= 0.5 and ay.n_exact == 0
+    # comma quirk: Double.valueOf throws on grouping commas → exact 0/1
+    es = s[("emp", "staff")]
+    assert es.n_both == 3 and es.n_rows == 4 and es.n_complement == 1
+    assert es.sum_sim == 0.0 and es.avg_sim == 0.0
+    # inverted date kernel: EQUAL dates score 0 (diff/range), not 1
+    bb = s[("bdate", "born")]
+    assert bb.n_both == 4 and bb.avg_sim == 0.0 and bb.n_exact == 0
+
+
+def test_typed_merge_map_marriage(spark):
+    from mannheimsearchjoinsengine_spark.operators.match import typed_merge_map
+
+    mm = {r.pred_raw: r.pred_canon for r in typed_merge_map(_typed_cells_df(spark)).collect()}
+    # years marries age (equal evidence → lexicographic-min winner);
+    # the comma pair and the equal-date pair must NOT merge
+    assert mm["years"] == "age"
+    assert mm["staff"] == "staff" and mm["emp"] == "emp"
+    assert mm["bdate"] == "bdate" and mm["born"] == "born"
+
+
+def test_greedy_marriage_chain(spark):
+    """a–b–c with b the hub: only the best edge survives — the reference's
+    discard-if-partner-better, NOT the one-pass star collapse."""
+    from mannheimsearchjoinsengine_spark.operators.match import greedy_marriage
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8)], ["pred1", "pred2", "avg_sim"]
+    )
+    got = {(r.pred1, r.pred2) for r in greedy_marriage(edges).collect()}
+    assert got == {("a", "b")}
+    # 4-node path: sequential-greedy result {(a,b), (c,d)} in two rounds
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8), ("c", "d", 0.7)],
+        ["pred1", "pred2", "avg_sim"],
+    )
+    got = {(r.pred1, r.pred2) for r in greedy_marriage(edges).collect()}
+    assert got == {("a", "b"), ("c", "d")}
+
+
 def test_porter_stemmer_golden():
     golden = {
         "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
