@@ -1466,24 +1466,76 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored) WHERE rank <= 5""",
     )
 
+    # LSH buckets: one expression per table (4 tables × 4 planes over dim 64),
+    # hyperplane constants inlined from the same md5 derivation Spark uses —
+    # the oracle reproduces the exact candidate set, bit-identical buckets.
+    bks = ",\n         ".join(
+        f"{ann.duck_lsh_bucket('embedding', 4, 64, t * 4)} AS b{t}" for t in range(4)
+    )
+    same_bucket = " OR ".join(f"a.b{t} = b.b{t}" for t in range(4))
+    # τ=0.35, not 0.9: the driver's embeddings are near-random (max pairwise
+    # cosine 0.51 at sf0.01), so a 0.9 threshold passes vacuously on 0 rows;
+    # 0.35 yields a few hundred true pairs, making the row discriminating.
+    # pytest covers τ=0.9 on synthetic planted near-dups.
     q(
         "emb_near_dup",
         lambda spark, sf: dedup.embedding_near_dup_pairs(
-            load_table(spark, sf, "embeddings"), tau=0.9
+            load_table(spark, sf, "embeddings"), tau=0.35
         ),
         f"""
-SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= 0.9""",
+WITH bk AS (
+  SELECT vec_id, embedding,
+         {bks}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({same_bucket})
+)
+SELECT c.id1, c.id2, {cos} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id1
+JOIN embeddings b ON b.vec_id = c.id2
+WHERE {cos} >= 0.35""",
     )
 
-    # scale-path ANN: no SQL oracle (recall measured in pytest vs brute force)
+    # scale-path ANN — deterministic md5 hyperplanes / sampled centroids make
+    # both mirror-able in SQL (recall vs brute force still measured in pytest)
     q(
         "emb_lsh_topk",
         lambda spark, sf: ann.lsh_topk(
             load_table(spark, sf, "embeddings"),
             load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
         ),
+        f"""
+WITH bk AS (
+  SELECT vec_id, embedding,
+         {bks}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bk a JOIN bk b
+    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND ({same_bucket})
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
+    )
+
+    # Σ(x−y)² between an embedding (float list) and a centroid (double list),
+    # rounded like the Spark side so list assignment ties identically.
+    dist_sq = (
+        "round(list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i])"
+        "), 'sum'), 4)"
     )
     q(
         "emb_ivf_topk",
@@ -1491,6 +1543,41 @@ WHERE {cos} >= 0.9""",
             load_table(spark, sf, "embeddings"),
             load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
         ),
+        f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS list_id, centroid FROM (
+    SELECT md5(CAST(vec_id AS VARCHAR)) AS h,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+    FROM embeddings ORDER BY h LIMIT 16)
+),
+corpus AS (
+  SELECT neighbor_id, list_id FROM (
+    SELECT e.vec_id AS neighbor_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist_sq.format(e='e.embedding', c='c.centroid')} ASC,
+                                       c.list_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist_sq.format(e='q.embedding', c='c.centroid')} ASC,
+                                       c.list_id ASC) AS pr
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE pr <= 4
+),
+scored AS (
+  SELECT DISTINCT p.query_id, co.neighbor_id, {cos} AS cosine
+  FROM probes p
+  JOIN corpus co USING (list_id)
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = co.neighbor_id
+  WHERE p.query_id <> co.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
     )
 
     # ---- multimodal: binary payload + Arrow-batched decode plumbing ----

@@ -53,23 +53,64 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane(plane: int, dim: int):
+def _py_hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5]:
-    md5("p:d") first 8 hex chars scaled. Same formula is reproducible in
-    the pytest recall checks."""
-    h = F.conv(F.substring(F.md5(F.lit(f"{plane}:{dim}")), 1, 8), 16, 10).cast("double")
-    return h / F.lit(float(0xFFFFFFFF)) - 0.5
+    md5("plane:dim") first 8 hex chars scaled — reproducible in any engine
+    (the DuckDB oracle inlines the same constants)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / float(0xFFFFFFFF) - 0.5
 
 
 def lsh_bucket(vec_col, n_planes: int, dim: int, plane_offset: int = 0):
-    """Random-hyperplane signature (int bucket id) for a vector column."""
+    """Random-hyperplane signature (int bucket id) for a vector column.
+
+    The hyperplane constants are baked in as a literal array and the dot
+    product is one zip_with/aggregate fold — a fully-unrolled multiply-add
+    chain (planes × dim terms) blows janino's 64 KB method limit. Elements
+    are double-cast first so the fold is double×double in sequence — the
+    exact arithmetic the DuckDB twin (list_dot_product over double lists)
+    performs, keeping oracle buckets bit-identical."""
+    dv = vec_col.cast("array<double>")
     sig = F.lit(0)
     for p in range(n_planes):
-        dot = F.lit(0.0)
-        for d in range(dim):
-            dot = dot + F.element_at(vec_col, d + 1) * _hyperplane(plane_offset + p, d)
+        arr = F.array(
+            *[F.lit(_py_hyperplane(plane_offset + p, d)) for d in range(dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(dv, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
+
+
+def duck_lsh_bucket(vec_expr: str, n_planes: int, dim: int, plane_offset: int = 0) -> str:
+    """DuckDB twin of lsh_bucket: the hyperplane constants are computed in
+    Python from the same md5 derivation and inlined as literal arrays, so
+    the oracle reproduces the exact buckets (elements double-cast to match
+    Spark's float×double promotion)."""
+    dv = f"list_transform({vec_expr}, x -> CAST(x AS DOUBLE))"
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(
+            repr(_py_hyperplane(plane_offset + p, d)) for d in range(dim)
+        ) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({dv}, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dist_sq(a, b):
+    """Σ(x−y)² as a sequential double fold — the same op order the DuckDB
+    oracle's list_transform(generate_series)+sum performs, so the rounded
+    distances (and therefore probe/list selection) are engine-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def ivf_topk(
@@ -81,41 +122,74 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantizer: str = "sampled",
 ) -> DataFrame:
-    """IVF-style ANN: a seeded k-means coarse quantizer partitions the
-    corpus into ``n_lists`` inverted lists; each query probes its
-    ``n_probe`` nearest centroids and scores only those lists.
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    ``n_lists`` inverted lists; each query probes its ``n_probe`` nearest
+    centroids and scores only those lists.
+
+    Quantizers: ``sampled`` (default) picks the ``n_lists`` corpus vectors
+    with the smallest md5(vec_id) as centroids — fully deterministic and
+    reproducible in the DuckDB oracle (FAISS-style sampled training, no
+    Lloyd iterations); ``kmeans`` trains pyspark.ml KMeans (better list
+    balance, pytest-recall-checked, not oracle-mirrorable).
 
     Scale shape: training is an offline sample job; assignment is one
     narrow pass; the probe is a hash join on list_id over a corpus
     partitioned/bucketed by list_id — probe cost drops from O(N·Q) to
     O(Q·N·n_probe/n_lists). Recall < 1 by construction; pytest measures it
     against brute force."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    spark = emb.sparkSession
-    with_feat = emb.withColumn("features", array_to_vector(F.col(vec_col)))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(with_feat)
-    corpus = model.transform(with_feat).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("prediction").alias("list_id"),
-    )
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["list_id", "centroid"],
-    )
+        spark = emb.sparkSession
+        with_feat = emb.withColumn("features", array_to_vector(F.col(vec_col)))
+        model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(with_feat)
+        corpus = model.transform(with_feat).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("prediction").alias("list_id"),
+        )
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            ["list_id", "centroid"],
+        )
+    else:
+        w_h = Window.orderBy("h")
+        cent = (
+            emb.select(
+                F.col(vec_col).cast("array<double>").alias("centroid"),
+                F.md5(F.col(id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(n_lists)
+            .withColumn("list_id", F.row_number().over(w_h) - 1)
+            .select("list_id", "centroid")
+        )
+        assigned = (
+            emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn(
+                "dist",
+                F.round(_dist_sq(F.col("cv").cast("array<double>"), F.col("centroid")), 4),
+            )
+        )
+        wa = Window.partitionBy("neighbor_id").orderBy(F.asc("dist"), F.asc("list_id"))
+        corpus = (
+            assigned.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("neighbor_id", "cv", "list_id")
+        )
     # query → n_probe nearest centroids (centroid table is tiny → broadcast)
     qdist = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(cent))
         .withColumn(
             "dist",
-            F.aggregate(
-                F.zip_with("qv", "centroid", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
+            F.round(
+                _dist_sq(F.col("qv").cast("array<double>"), F.col("centroid").cast("array<double>")),
+                4,
             ),
         )
     )

@@ -240,13 +240,47 @@ def embedding_near_dup_pairs(
     tau: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    brute_force: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ τ). Brute-force pair join —
-    fine at test scale; the blocked/LSH path for scale is ann.lsh_topk.
-    Dot products via zip_with/aggregate — native, no Python."""
-    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    """Embedding-cosine near-dup pairs (cos ≥ τ), LSH-bucketed by default:
+    multi-table random-hyperplane signatures block the self-join to same-
+    bucket pairs, then exact cosine verifies — candidate cost is per-bucket
+    bounded, never the O(N²) crossJoin. The hyperplanes are md5-derived
+    (ann.lsh_bucket), so the driver oracle reproduces the exact candidate
+    set; recall < 1 vs brute force by construction (pytest measures it).
+
+    ``brute_force=True`` keeps the exhaustive pair join — the pytest recall
+    oracle, NOT a plan for scale. Dot products via zip_with/aggregate —
+    native, no Python."""
+    from mannheimsearchjoinsengine_spark.operators.ann import lsh_bucket
+
+    if brute_force:
+        a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+        b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+        pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    else:
+        tables = None
+        for t in range(n_tables):
+            bt = emb.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.lit(t).alias("table_no"),
+                lsh_bucket(
+                    F.col(vec_col), planes_per_table, dim, plane_offset=t * planes_per_table
+                ).alias("bucket"),
+            )
+            tables = bt if tables is None else tables.union(bt)
+        l = tables.select("table_no", "bucket", F.col("id").alias("id1"), F.col("v").alias("v1"))
+        r = tables.select("table_no", "bucket", F.col("id").alias("id2"), F.col("v").alias("v2"))
+        pairs = (
+            l.join(r, ["table_no", "bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "v1", "id2", "v2")
+            .dropDuplicates(["id1", "id2"])
+        )
     dot = F.aggregate(
         F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

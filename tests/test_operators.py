@@ -366,6 +366,33 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH-bucketed near-dup pairs on planted high-cosine duplicates: the
+    LSH candidate set must be a subset of brute force (same τ filter) and
+    recover most planted pairs (cos ≈ 0.99 ⇒ per-table collision prob
+    (1-θ/π)^4 ≈ 0.88, four tables OR'd ⇒ ~1-(1-.88)^4)."""
+    import numpy as np
+
+    from mannheimsearchjoinsengine_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        base = rng.normal(size=64)
+        near = base + rng.normal(scale=0.02, size=64)  # cos ≈ 0.999
+        rows.append((i * 2, [float(x) for x in base]))
+        rows.append((i * 2 + 1, [float(x) for x in near]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = {(r.id1, r.id2) for r in
+          embedding_near_dup_pairs(emb, tau=0.9, brute_force=True).collect()}
+    ls = {(r.id1, r.id2) for r in embedding_near_dup_pairs(emb, tau=0.9).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(50)}
+    assert planted <= bf, "brute force must find every planted near-dup"
+    assert ls <= bf, "LSH pairs must be a subset of brute force (same τ)"
+    recall = len(ls & planted) / len(planted)
+    assert recall >= 0.7, f"LSH near-dup recall collapsed: {recall:.2f}"
+
+
 def test_ntriples_lines_golden(spark):
     from mannheimsearchjoinsengine_spark.operators.triplify import ntriples_lines
 
