@@ -91,7 +91,9 @@ def main() -> None:
             "kg_resolve_voting",
             "doc_minhash_lsh",
             "doc_ngram_jaccard_top",
+            "doc_dup_clusters",
             "emb_cosine_topk",
+            "emb_near_dup",
             "tpch_pricing_summary",
         ):
             timed(name, lambda name=name: queries[name](spark, SF_DIR).count())

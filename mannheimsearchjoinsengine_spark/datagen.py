@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATAGEN_VERSION = 5  # bump when the grammar changes → regenerates caches
+DATAGEN_VERSION = 6  # bump when the grammar changes → regenerates caches
 # Small row groups so Spark can split the single parquet file into many scan
 # tasks (a 1M-row default row group caps scan parallelism at ~2 tasks).
 ROW_GROUP_SIZE = 50_000
@@ -76,8 +76,13 @@ TOOLS = ["search", "lookup", "calc"]
 DATE_FORMATS = [
     "%m/%d/%Y", "%Y-%m-%d", "%d.%m.%Y", "%Y/%m/%d", "%d-%m-%Y", "%Y%m%d",
     "%d %b %Y", "%d %B %Y", "%B %d %Y", "%m.%Y", "%d/%m/%Y",
+    "%d-%B-%Y", "%d/%B/%Y", "%m-%Y", "%m/%Y",
 ]
 AREA_UNITS = ["km2", "mi2", "ha"]
+# website suffixes: mostly plain TLDs plus multi-label public suffixes so
+# the F13 eTLD+1 path (functions/domains.py) is discriminating — the naive
+# last-two-labels rule gets co.uk/com.au/eu.com URLs wrong
+SITE_SUFFIXES = ["com", "org", "net", "co.uk", "com.au", "co.jp", "eu.com"]
 
 
 def _entity_catalog():
@@ -174,7 +179,8 @@ def _entity_catalog():
                 facts.append(("founded", d.strftime(fmt), d.replace(year=d.year + 2).strftime(fmt)))
                 facts.append(("public", rng.choice(["true", "false"]), "false"))
                 facts.append(("headquarters", rng.choice(cities), rng.choice(cities)))
-                facts.append(("website", f"http://{slug}.example.com", f"http://www.{slug}.example.com"))
+                suf = rng.choice(SITE_SUFFIXES)
+                facts.append(("website", f"http://{slug}.{suf}", f"http://www.{slug}.{suf}"))
             catalog.append(
                 {"name": name, "cls": cls, "surfaces": surfaces,
                  "nearmiss": nearmiss, "facts": facts}

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
+from mannheimsearchjoinsengine_spark.functions import domains
 from mannheimsearchjoinsengine_spark.functions import text as T
 from mannheimsearchjoinsengine_spark.functions.normalize import duck_norm_key, duck_norm_tokens
 from mannheimsearchjoinsengine_spark.functions.typeguess import duck_guess_type
@@ -926,6 +927,11 @@ WHERE round(shared_tokens / (ln_ + rn_ - shared_tokens), 4) >= 0.5
   AND left_key < right_key""",
     )
 
+    # F13 with the PSL-aware extractor (functions/domains.py): multi-label
+    # public suffixes resolve correctly (bbc.co.uk -> bbc.co.uk, not co.uk).
+    # Reference parity: utils/DomainUtils.java (full Mozilla PSL; here a
+    # curated subset + load_psl() plug point).
+    duck_host = "regexp_extract(obj_raw, '^https?://([^/]+)', 1)"
     q(
         "kg_domains",
         lambda spark, sf: _cells_ck(spark, sf)
@@ -934,21 +940,16 @@ WHERE round(shared_tokens / (ln_ + rn_ - shared_tokens), 4) >= 0.5
             "subj_norm",
             "pred_raw",
             "obj_raw",
-            F.regexp_extract("obj_raw", r"^https?://(?:www\.)?([^/]+)", 1).alias("host"),
+            F.regexp_extract("obj_raw", r"^https?://([^/]+)", 1).alias("host"),
         )
-        .withColumn("tld", F.regexp_extract("host", r"\.([a-z0-9-]+)$", 1))
-        .withColumn(
-            "registered_domain",
-            F.regexp_extract("host", r"([a-z0-9-]+\.[a-z0-9-]+)$", 1),
-        ),
+        .withColumn("public_suffix", domains.public_suffix(F.col("host")))
+        .withColumn("registered_domain", domains.registered_domain(F.col("host"))),
         cells_prelude(tpath)
-        + """
+        + f"""
 SELECT subj_norm, pred_raw, obj_raw,
-       regexp_extract(obj_raw, '^https?://(?:www\\.)?([^/]+)', 1) AS host,
-       regexp_extract(regexp_extract(obj_raw, '^https?://(?:www\\.)?([^/]+)', 1),
-                      '\\.([a-z0-9-]+)$', 1) AS tld,
-       regexp_extract(regexp_extract(obj_raw, '^https?://(?:www\\.)?([^/]+)', 1),
-                      '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS registered_domain
+       {duck_host} AS host,
+       {domains.duck_public_suffix(duck_host)} AS public_suffix,
+       {domains.duck_registered_domain(duck_host)} AS registered_domain
 FROM cells WHERE dtype = 'link'""",
     )
 

@@ -35,9 +35,17 @@ DATE_RE = (
     r"|[0-9]{2}\.[0-9]{2}\.[0-9]{4}|[0-9]{4}/[0-9]{2}/[0-9]{2}"
     r"|[0-9]{2}-[0-9]{2}-[0-9]{4}|[0-9]{8}"
     r"|[0-9]{2} [a-z]{3,} [0-9]{4}|[a-z]{4,} [0-9]{2} [0-9]{4}"
-    r"|[0-9]{2}\.[0-9]{4})$"
+    r"|[0-9]{2}[-./][a-z]{4,}[-./][0-9]{4}"
+    r"|[0-9]{2}[-./][0-9]{4}"
+    r"|[0-9]{4})$"
 )
-BOOL_RE = r"^(true|false)$"
+# '[0-9]{4}' last branch: DATE_FORMAT_REGEXPS has '^\d{4}$' -> 'yyyy'
+# (DateUtil.java:122) and the date check runs BEFORE numeric, so in the
+# reference EVERY bare 4-digit integer is typed date — quirk replicated.
+# BOOL: the reference checks `Boolean.parseBoolean(value)`
+# (ColumnTypeGuesser.java:82-83), which is true only for "true" — so
+# "false" falls through to STRING. Quirk replicated, not fixed.
+BOOL_RE = r"^true$"
 LINK_RE = r"^(https?://|www\.)"
 COORD_RE = r"^-?[0-9]+\.[0-9]+, -?[0-9]+\.[0-9]+$"
 NUMERIC_RE = r"^-?[0-9][0-9,]*(\.[0-9]+)?$"

@@ -53,8 +53,21 @@ DATE_FORMATS: list[tuple[str, str]] = [
     ("dd MMM yyyy", "%d %b %Y"),
     ("dd MMMM yyyy", "%d %B %Y"),
     ("MMMM dd yyyy", "%B %d %Y"),
+    ("dd-MMMM-yyyy", "%d-%B-%Y"),
+    ("dd.MMMM.yyyy", "%d.%B.%Y"),
+    ("dd/MMMM/yyyy", "%d/%B/%Y"),
     ("MM.yyyy", "%m.%Y"),
+    ("MM-yyyy", "%m-%Y"),
+    ("MM/yyyy", "%m/%Y"),
+    # bare 4-digit year LAST (DATE_FORMAT_REGEXPS '^\d{4}$' -> 'yyyy',
+    # DateUtil.java:122): in the reference every 4-digit integer IS a date
+    ("yyyy", "%Y"),
 ]
+# deliberate omissions vs parsers/DateUtil.java:43-123, documented: 2-digit
+# year formats (dd.MM.yy etc.) — Java SimpleDateFormat's 80/20 century window
+# differs from DuckDB's %y pivot, so they cannot be twinned bit-identically;
+# and the timestamp formats (yyyyMMddHHmm etc.) — sub-day grain is out of
+# scope for the day-grain triple store.
 
 DATE_PATTERNS = [s for s, _ in DATE_FORMATS]  # spark-side list
 

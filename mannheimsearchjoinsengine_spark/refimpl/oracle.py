@@ -36,9 +36,12 @@ DATE_RE = re.compile(
     r"|[0-9]{2}\.[0-9]{2}\.[0-9]{4}|[0-9]{4}/[0-9]{2}/[0-9]{2}"
     r"|[0-9]{2}-[0-9]{2}-[0-9]{4}|[0-9]{8}"
     r"|[0-9]{2} [a-z]{3,} [0-9]{4}|[a-z]{4,} [0-9]{2} [0-9]{4}"
-    r"|[0-9]{2}\.[0-9]{4})$"
+    r"|[0-9]{2}[-./][a-z]{4,}[-./][0-9]{4}"
+    r"|[0-9]{2}[-./][0-9]{4}"
+    r"|[0-9]{4})$"
 )
-BOOL_RE = re.compile(r"^(true|false)$")
+# bare-4-digit-year and "only 'true' is bool" quirks — see typeguess.py
+BOOL_RE = re.compile(r"^true$")
 LINK_RE = re.compile(r"^(https?://|www\.)")
 COORD_RE = re.compile(r"^-?[0-9]+\.[0-9]+, -?[0-9]+\.[0-9]+$")
 NUM_RE = re.compile(r"^-?[0-9][0-9,]*(\.[0-9]+)?$")
@@ -83,7 +86,9 @@ def parse_date(v: str):
     # same order as resolve.DATE_FORMATS (incl. the MM/dd → dd/MM fallback)
     for fmt in (
         "%m/%d/%Y", "%d/%m/%Y", "%Y-%m-%d", "%Y/%m/%d", "%d.%m.%Y",
-        "%d-%m-%Y", "%Y%m%d", "%d %b %Y", "%d %B %Y", "%B %d %Y", "%m.%Y",
+        "%d-%m-%Y", "%Y%m%d", "%d %b %Y", "%d %B %Y", "%B %d %Y",
+        "%d-%B-%Y", "%d.%B.%Y", "%d/%B/%Y", "%m.%Y", "%m-%Y", "%m/%Y",
+        "%Y",
     ):
         try:
             return datetime.strptime(v, fmt)

@@ -89,6 +89,14 @@ def test_norm_key_variants(spark):
         ("1912-10-31", "date"),
         ("31.10.1912", "date"),
         ("true", "bool"),
+        # Boolean.parseBoolean quirk (ColumnTypeGuesser.java:82-83):
+        # only "true" is bool — "false" falls through to string
+        ("false", "string"),
+        # bare-year quirk (DateUtil.java:122 '^\d{4}$'->'yyyy'): every
+        # 4-digit integer is a date in the reference
+        ("2004", "date"),
+        ("09-July-2004", "date"),
+        ("07/2004", "date"),
         ("http://x.example.com", "link"),
         ("41.1775, 20.6788", "coordinate"),
         ("1,234,567", "numeric"),
@@ -236,6 +244,99 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
 
 
+DOMAIN_GOLDENS = [
+    # host, public_suffix, registered_domain
+    ("www.bbc.co.uk", "co.uk", "bbc.co.uk"),
+    ("news.bbc.co.uk", "co.uk", "bbc.co.uk"),
+    ("www.example.com", "com", "example.com"),
+    ("example.com", "com", "example.com"),
+    ("a.b.c.example.com.au", "com.au", "example.com.au"),
+    ("library.ac.uk", "ac.uk", "library.ac.uk"),
+    ("co.uk", "co.uk", "co.uk"),
+    ("localhost", "localhost", "localhost"),
+    ("shop.example.co.jp", "co.jp", "example.co.jp"),
+    ("foo.eu.com", "eu.com", "foo.eu.com"),
+]
+
+
+def test_domain_extraction_goldens(spark):
+    """PSL-aware eTLD / eTLD+1 (F13): multi-label suffixes resolve right and
+    the DuckDB twin agrees value-for-value (it backs the kg_domains oracle).
+    Reference parity: utils/DomainUtils.java (full PSL; curated subset here)."""
+    import duckdb
+
+    from mannheimsearchjoinsengine_spark.functions.domains import (
+        duck_public_suffix,
+        duck_registered_domain,
+        public_suffix,
+        registered_domain,
+    )
+
+    df = spark.createDataFrame([(h,) for h, _, _ in DOMAIN_GOLDENS], ["host"])
+    got = {
+        r.host: (r.ps, r.rd)
+        for r in df.select(
+            "host",
+            public_suffix(F.col("host")).alias("ps"),
+            registered_domain(F.col("host")).alias("rd"),
+        ).collect()
+    }
+    for host, ps, rd in DOMAIN_GOLDENS:
+        assert got[host] == (ps, rd), f"{host}: got {got[host]}, want {(ps, rd)}"
+
+    con = duckdb.connect()
+    for host, ps, rd in DOMAIN_GOLDENS:
+        row = con.execute(
+            f"SELECT {duck_public_suffix('h')}, {duck_registered_domain('h')} "
+            f"FROM (SELECT '{host}' AS h)"
+        ).fetchone()
+        assert row == (ps, rd), f"duckdb {host}: got {row}, want {(ps, rd)}"
+
+
+def test_date_format_cascade_cross_engine(spark):
+    """Every format in resolve.DATE_FORMATS round-trips: one sample value
+    per format, Spark parse_any_date == DuckDB duck_parse_date == expected.
+    (F10 breadth — parsers/DateUtil.java:179-217 reduced to the unambiguous
+    formats; the two twins are generated from the SAME table.)"""
+    import datetime
+
+    import duckdb
+
+    from mannheimsearchjoinsengine_spark.operators.resolve import (
+        DATE_FORMATS,
+        duck_parse_date,
+        parse_any_date,
+    )
+
+    d = datetime.date(2004, 7, 9)
+    # one sample per format, strftime'd with the duckdb (python-compatible)
+    # pattern; ambiguous samples (07/09 ↔ 09/07) parse as the FIRST matching
+    # cascade entry in BOTH engines, so we assert spark == duckdb, not
+    # per-format intent
+    samples = [(d.strftime(duck_fmt), spark_fmt) for spark_fmt, duck_fmt in DATE_FORMATS]
+    df = spark.createDataFrame([(s,) for s, _ in samples], ["v"])
+    got = {r.v: r.d for r in df.select("v", parse_any_date(F.col("v")).alias("d")).collect()}
+    con = duckdb.connect()
+    for s, fmt in samples:
+        duck = con.execute(
+            f"SELECT {duck_parse_date('v')} FROM (SELECT '{s}' AS v)"
+        ).fetchone()[0]
+        assert got[s] is not None, f"{fmt}: spark failed to parse {s!r}"
+        assert got[s] == duck, f"{fmt}: spark {got[s]} != duckdb {duck} on {s!r}"
+
+
+def test_load_psl(tmp_path):
+    """load_psl parses a publicsuffix.dat: keeps exact multi-label rules,
+    skips comments / wildcards / exceptions / 1-label TLDs."""
+    from mannheimsearchjoinsengine_spark.functions.domains import load_psl
+
+    dat = tmp_path / "psl.dat"
+    dat.write_text(
+        "// comment\n\ncom\nco.uk\n*.ck\n!www.ck\nsch.uk\n ac.uk \nuk\n"
+    )
+    assert load_psl(str(dat)) == ("ac.uk", "co.uk", "sch.uk")
+
+
 def test_unit_conversion_goldens(spark):
     from mannheimsearchjoinsengine_spark.operators.fuse import split_unit, to_base_unit
 
@@ -249,7 +350,8 @@ def test_unit_conversion_goldens(spark):
     assert got["500 km2"] == (500_000_000.0, "m2")
     assert got["180 cm"] == (1.8, "m")
     assert got["12 MUSD"] == (12_000_000.0, "usd")
-    assert got["1,250 kg"] == (1250.0, "kg")
+    # kg joined the Mass.txt table in the unit-breadth pass: converts to g
+    assert got["1,250 kg"] == (1_250_000.0, "g")
     assert got["3.5 km"] == (3500.0, "m")
 
 
