@@ -19,6 +19,10 @@ mkdir -p "$SF_DIR"
 OUT="BENCH/scaling_$(basename "$SF_DIR").json"
 ROUNDS="${SPARK_GRAFT_SCALING_ROUNDS:-3}"
 REPS_PER_ROUND="${SPARK_GRAFT_SCALING_REPS:-2}"
+# one data-sized shuffle-partition count for BOTH parallelism levels (a
+# cluster job sizes partitions by input, not executor count); 8 partitions
+# at 32M turns spills every big sort — see session.py comment
+export SPARK_SHUFFLE_PARTITIONS="${SPARK_SHUFFLE_PARTITIONS:-64}"
 
 declare -a R_N R_4N
 for round in $(seq 1 "$ROUNDS"); do

@@ -54,14 +54,31 @@ def main() -> None:
     n_turns = turns_for_tag(sf_tag_of_dir(SF_DIR))
     queries["kg_turns"](spark, SF_DIR).count()
     reps = []
+    # Stage boundaries go through the parquet LEDGER (a fresh checkpoint
+    # root per rep, wiped afterwards) — the production/resume path the
+    # north rule mandates. The localCheckpoint fallback stores stage
+    # outputs as DESERIALIZED on-heap row objects, whose GC cost grows
+    # superlinearly with input (measured: sf32 cells stage 94µs/row vs
+    # ≤10µs/row at sf8; the ledger path runs sf32 end-to-end in ~150 s
+    # where the localCheckpoint path took >25 min).
+    import gc
+    import shutil
+    import tempfile
+
+    def timed_pipeline():
+        root = tempfile.mkdtemp(prefix="bench_ckpt_")
+        try:
+            t0 = time.time()
+            triples = run_pipeline(spark, SF_DIR, checkpoint_root=root)["triples"]
+            n = triples.count()
+            return round(time.time() - t0, 3), n
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     # Steady-state throughput: one untimed warm-up run amortizes
     # whole-stage-codegen JIT compilation (worth 30-60 s on the first
     # pipeline executions in a fresh JVM, at any core count).
-    import gc
-
-    warm = run_pipeline(spark, SF_DIR)["triples"]
-    warm.count()
-    del warm
+    timed_pipeline()
     gc.collect()
     # The sandbox host has transient background load (observed 73-222 s for
     # identical warm runs), so scaling-evidence mode takes the MIN of three
@@ -70,16 +87,11 @@ def main() -> None:
 
     n_triples = 0
     for i in range(n_reps):
-        t0 = time.time()
-        triples = run_pipeline(spark, SF_DIR)["triples"]
-        n_triples = triples.count()
-        reps.append(round(time.time() - t0, 3))
+        rep_s, n_triples = timed_pipeline()
+        reps.append(rep_s)
         print(f"# kg_pipeline rep{i}: {reps[-1]}s ({n_triples} triples)",
               file=sys.stderr, flush=True)
         if n_reps > 1:
-            import gc
-
-            del triples
             gc.collect()
     pipeline_s = min(reps)
     timings["kg_pipeline"] = pipeline_s

@@ -42,7 +42,16 @@ def get_spark(
     master/executor topology comes from spark-submit and this arg is ignored.
     """
     cores = cores or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    # Shuffle partitioning tracks DATA volume, not core count: AQE coalesces
+    # downward from this number but never splits upward, so an undersized
+    # value makes big shuffles spill (8 partitions × 4M rows at 32M-turn
+    # inputs = multi-pass sort-merge on disk). 2×cores is the low-latency
+    # default for sandbox-scale inputs; SPARK_SHUFFLE_PARTITIONS overrides
+    # for larger runs (run_scaling.sh pins one size-appropriate value for
+    # BOTH parallelism levels, as a cluster job would).
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cores * 2, 8)))
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
@@ -66,7 +75,7 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
