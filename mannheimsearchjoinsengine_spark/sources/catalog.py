@@ -68,13 +68,25 @@ class StageLedger:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
         persisted = self.spark.read.parquet(out)
-        lineage = (
+        # ONE metrics pass: per-partition row counts come back as a tiny
+        # collect (≤ #partitions rows) that serves BOTH the lineage table
+        # (written driver-side, single task) AND the total row count — the
+        # earlier separate persisted.count() was a redundant full re-scan
+        # per stage boundary (~13 extra full-table jobs per pipeline run).
+        part_rows = (
             persisted.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(stage))
+            .collect()
         )
-        lineage.write.mode("overwrite").parquet(os.path.join(self.root, f"_lineage/{stage}"))
-        rows = persisted.count()
+        lineage = self.spark.createDataFrame(
+            [(int(r.partition_id), int(r.rows_out), stage) for r in part_rows]
+            or [(0, 0, stage)],
+            "partition_id int, rows_out bigint, stage string",
+        )
+        lineage.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, f"_lineage/{stage}")
+        )
+        rows = sum(int(r.rows_out) for r in part_rows)
         self.entries[stage] = {
             "fingerprint": fingerprint,
             "path": out,
