@@ -714,7 +714,36 @@ JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
     _register_scoring_queries(q, tpath)
     _register_doc_queries(q)
     _register_tpch_queries(q)
-    return queries, oracles
+
+    # The driver only records CORRECTNESS rows for the first 50 registrations.
+    # Rotate stable, pytest-covered kg rows (tests/test_queries_vs_duckdb.py
+    # runs ALL entries) past the window so every query not yet driver-checked
+    # in r01/r02 (emb_ivf_topk, mm_*, tpch_*, events_*) gets a driver row.
+    def _reorder(d: dict) -> dict:
+        head = {k: v for k, v in d.items() if k not in DEFERRED_QUERIES}
+        tail = {k: d[k] for k in DEFERRED_QUERIES if k in d}
+        return {**head, **tail}
+
+    return _reorder(queries), _reorder(oracles)
+
+
+# Stable rows deferred past the driver's 50-query CORRECTNESS window (all were
+# green rows+schema+hash in CORRECTNESS_r01/r02 and remain covered by the full
+# pytest oracle suite). Keep len(queries) - len(DEFERRED_QUERIES) <= 50.
+DEFERRED_QUERIES = (
+    "kg_fuse_long",
+    "kg_fuse_augmented",
+    "kg_col_density",
+    "kg_row_density",
+    "kg_label_pairs",
+    "kg_numeric_clean",
+    "kg_attr_semijoin",
+    "kg_refine_attrs",
+    "kg_key_distribution",
+    "kg_value_sim",
+    "kg_char_jaccard",
+    "kg_value_multiplicity",
+)
 
 
 # --------------------------------------------------------------------------
