@@ -1315,10 +1315,24 @@ sh AS (
          ELSE [] END) AS shingle
   FROM d
 ),
+-- df-cap twin of dedup.ngram_jaccard_pairs: candidates come from shingles
+-- with df <= floor(0.5*n_docs)+1; exact jaccard then uses FULL sets.
+ndocs AS (SELECT count(DISTINCT doc) AS n_docs FROM sh),
+hot AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df_docs FROM sh GROUP BY 1), ndocs
+  WHERE df_docs > floor(0.5 * n_docs) + 1
+),
+blocked AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc < b.doc
+),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
-  SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  SELECT c.doc1, c.doc2, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc1
+  JOIN sh b ON b.doc = c.doc2 AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
 jac AS (

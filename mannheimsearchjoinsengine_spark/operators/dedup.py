@@ -64,18 +64,51 @@ def ngram_jaccard_pairs(
     top_pairs: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: float | None = 0.5,
 ) -> DataFrame:
     """Top near-dup pairs by word-n-gram Jaccard (F1 analog at doc scale;
     char n-gram variant of ``InstanceBasedComparer.java:553-560`` is in
     functions/similarity.py). Deterministic top-N by (jaccard desc, ids).
-    ``sets`` feeds three branches → materialize once (see minhash note)."""
+    ``sets`` feeds three branches → materialize once (see minhash note).
+
+    Scale shape: the blocking self-join runs only over shingles whose
+    document frequency is ≤ ``floor(df_cap · n_docs) + 1`` (same formula as
+    ``index.build_postings``) — a boilerplate shingle shared by k docs would
+    otherwise emit k² candidate rows. The hot-shingle list is tiny, so it is
+    broadcast into a left-anti join (NOT the huge keep-list). Verification
+    then computes EXACT jaccard over the FULL shingle sets for candidates
+    only, so the cap affects recall (pairs sharing nothing but hot shingles
+    are missed — by design, those are boilerplate) but never scores.
+    ``df_cap=None`` restores the exhaustive join (tests/recall oracle)."""
     sets = _token_sets(docs, text_col, id_col, n).localCheckpoint()
+    blocked = sets
+    if df_cap is not None:
+        # broadcast-scalar denominator (no driver .count()), same pattern as
+        # index.build_postings:48-62
+        n_docs = sets.agg(F.countDistinct("doc").alias("n_docs"))
+        hot = (
+            sets.groupBy("shingle")
+            .agg(F.count("*").alias("df_docs"))  # sets is distinct per (doc, shingle)
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df_docs") > F.floor(F.lit(df_cap) * F.col("n_docs")) + 1)
+            .select("shingle")
+        )
+        blocked = sets.join(F.broadcast(hot), "shingle", "left_anti")
+    ca = blocked.select(F.col("doc").alias("doc1"), "shingle")
+    cb = blocked.select(F.col("doc").alias("doc2"), "shingle")
+    cand = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    # verify on full sets: exact jaccard for candidate pairs only
     sizes = sets.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sets.select(F.col("doc").alias("doc1"), "shingle")
     b = sets.select(F.col("doc").alias("doc2"), "shingle")
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
+        cand.join(a, "doc1")
+        .join(b, ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("shared"))
     )

@@ -509,3 +509,33 @@ def test_ntriples_lines_golden(spark):
         assert line.startswith("<"), line
         assert line.endswith(" ."), line
         assert line.count("<") >= 2, line
+
+
+def test_ngram_jaccard_df_cap_blocks_boilerplate(spark):
+    """A boilerplate shingle shared by every doc must NOT drive the blocking
+    self-join: k docs sharing only a hot shingle yield zero candidate pairs
+    (was k² before the df-cap), while genuinely similar pairs keep their
+    EXACT jaccard — hot shingles still count in the verify stage."""
+    from mannheimsearchjoinsengine_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "copyright acme corp"
+    # 20 docs: all share the boilerplate 3-gram; docs 0/1 also share a rare
+    # 3-gram ("alpha beta gamma"), everything else pairwise-disjoint.
+    rows = [(0, f"alpha beta gamma {boiler}"), (1, f"alpha beta gamma {boiler}")]
+    rows += [(i, f"tok{i}a tok{i}b tok{i}c {boiler}") for i in range(2, 20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(docs, n=3, df_cap=0.5).collect()
+    pairs = {(r.doc1, r.doc2): (r.shared, r.jaccard) for r in capped}
+    # only the planted similar pair survives blocking — no boilerplate k²
+    assert set(pairs) == {(0, 1)}, pairs
+    # verify stage uses FULL sets: docs 0/1 share 2 of their shingles each —
+    # 'alpha beta gamma' + the boilerplate chain shingles.
+    shared, jac = pairs[(0, 1)]
+    uncapped = {
+        (r.doc1, r.doc2): (r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, df_cap=None).collect()
+    }
+    assert uncapped[(0, 1)] == (shared, jac), "cap must not change scores"
+    # uncapped blocking would have produced candidates for every pair
+    assert len(uncapped) > len(pairs)
