@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
 from mannheimsearchjoinsengine_spark.functions import domains
 from mannheimsearchjoinsengine_spark.functions import text as T
-from mannheimsearchjoinsengine_spark.functions.normalize import duck_norm_key, duck_norm_tokens
+from mannheimsearchjoinsengine_spark.functions.normalize import (
+    clear_string,
+    duck_clear_string,
+    duck_norm_key,
+    duck_norm_tokens,
+)
 from mannheimsearchjoinsengine_spark.functions.typeguess import duck_guess_type
 from mannheimsearchjoinsengine_spark.operators import (
     ann,
@@ -708,6 +713,20 @@ SELECT DISTINCT cl.canonical_label AS subj, r.pred_canon AS pred,
 FROM resolved r
 JOIN clusters cl ON r.subj_norm = cl.subj_norm
 JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
+    )
+
+    q(
+        "kg_clear_string",
+        # P1 Lucene-WordDelimiterFilter parity over the corpus's surface
+        # labels (StringNormalizer.clearString, :39-141)
+        lambda spark, sf: extract.extract_facts(load_transcripts(spark, sf))
+        .select(F.col("subj_surface").alias("label"))
+        .distinct()
+        .select("label", clear_string(F.col("label")).alias("cleared")),
+        facts_prelude(tpath)
+        + "SELECT label, "
+        + duck_clear_string("label")
+        + " AS cleared FROM (SELECT DISTINCT subj_surface AS label FROM facts)",
     )
 
     _register_fusion_queries(q, tpath)

@@ -79,23 +79,62 @@ def norm_tokens(col: Column) -> Column:
     return F.array_remove(F.split(F.trim(c), " "), "")
 
 
-def clear_string(col: Column, strip_stopwords: bool = True) -> Column:
-    """P1 "clearString" analog: word-delimiter split (case change,
-    letter/digit boundary), lowercase, optional stopword strip, re-join.
+def clear_string(
+    col: Column,
+    strip_stopwords: bool = True,
+    remove_brackets: bool = False,
+    custom_stopwords: list[str] | None = None,
+) -> Column:
+    """P1 "clearString": Lucene-WordDelimiterFilter tokenization parity.
 
-    ``schemamatching/label/StringNormalizer.java:39-141``.
+    ``schemamatching/label/StringNormalizer.java:39-141``. The factory args
+    (``:91-97``) enable generateWordParts / generateNumberParts /
+    splitOnCaseChange and set catenateNumbers=0; every catenate option is
+    therefore OFF (Lucene defaults), while ``stemEnglishPossessive`` and
+    ``splitOnNumerics`` default ON. Replicated behaviors, in filter order:
+
+    * ``&nbsp;``/``&nbsp``/``nbsp`` literal-replaced with spaces (:83-85).
+    * optional greedy bracket removal ``\\(.*\\)`` (:106-108 — Java's regex
+      is GREEDY: 'a (b) c (d) e' → 'a  e').
+    * English possessive strip: trailing ``'s`` of a subword (:91-97 WDF
+      default; capture-group form, no lookahead, so the DuckDB twin's RE2
+      matches byte-for-byte).
+    * case-change + acronym-boundary splits ('camelCase' → 'camel Case',
+      'XMLParser' → 'XML Parser') and letter↔digit splits.
+    * lowercase → delimiter split → Lucene 33-word English stop set → the
+      custom-stopword file hook (:116-124; ``CharArraySet(ignoreCase)``).
+    * '$' quirk (:136-139): when the raw value contains '$', tokenization
+      produced something, and the first token differs from the raw string, a
+      literal '$' token is appended AFTER all filters.
+    * empty result → the literal string 'null' (PipelineConfig.NULL_VALUE,
+      ``clearString:52-54``).
+
+    ``unescapeJava`` (:103) is not replicated: transcript text carries no
+    Java string escapes, and Spark/DuckDB share the raw bytes either way.
     """
-    # WordDelimiterFilter: break camelCase and letter<->digit transitions.
-    c = F.regexp_replace(col, r"([a-z])([A-Z])", r"$1 $2")
+    c = F.regexp_replace(col, r"&nbsp;|&nbsp|nbsp", " ")
+    if remove_brackets:
+        c = F.regexp_replace(c, r"\(.*\)", "")
+    c = F.regexp_replace(c, r"'[sS]($|[^A-Za-z0-9])", r"$1")
+    c = F.regexp_replace(c, r"([a-z])([A-Z])", r"$1 $2")
+    c = F.regexp_replace(c, r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
     c = F.regexp_replace(c, r"([A-Za-z])([0-9])", r"$1 $2")
     c = F.regexp_replace(c, r"([0-9])([A-Za-z])", r"$1 $2")
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[^a-z0-9$]+", " ")  # '$' special-cased (line 136-139)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     toks = F.array_remove(F.split(F.trim(c), " "), "")
     if strip_stopwords:
         sw = F.array(*[F.lit(s) for s in STOPWORDS])
         toks = F.filter(toks, lambda x: ~F.array_contains(sw, x))
-    return F.array_join(toks, " ")
+    if custom_stopwords:
+        cs = F.array(*[F.lit(s.lower()) for s in custom_stopwords])
+        toks = F.filter(toks, lambda x: ~F.array_contains(cs, x))
+    toks = F.when(
+        col.contains("$") & (F.size(toks) > 0) & (F.element_at(toks, 1) != col),
+        F.concat(toks, F.array(F.lit("$"))),
+    ).otherwise(toks)
+    out = F.array_join(toks, " ")
+    return F.when(out == "", F.lit("null")).otherwise(out)
 
 
 def fastjoin_norm(col: Column) -> Column:
@@ -142,6 +181,33 @@ def duck_norm_tokens(expr: str) -> str:
     c = f"regexp_replace({c}, '\\([^)]*\\)|\\[[^\\]]*\\]', ' ', 'g')"
     c = f"regexp_replace({c}, '[^a-z0-9]+', ' ', 'g')"
     return f"list_filter(string_split(trim({c}), ' '), x -> x <> '')"
+
+
+def duck_clear_string(expr: str) -> str:
+    """DuckDB twin of :func:`clear_string` (defaults: stopwords on, no
+    brackets, no custom stopwords). RE2-safe — the possessive strip uses the
+    same capture-group form as the Spark side. Inlines the token list three
+    times; DuckDB CSEs it and oracle perf is irrelevant."""
+    c = f"regexp_replace({expr}, '&nbsp;|&nbsp|nbsp', ' ', 'g')"
+    c = f"regexp_replace({c}, '''[sS]($|[^A-Za-z0-9])', '\\1', 'g')"
+    c = f"regexp_replace({c}, '([a-z])([A-Z])', '\\1 \\2', 'g')"
+    c = f"regexp_replace({c}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')"
+    c = f"regexp_replace({c}, '([A-Za-z])([0-9])', '\\1 \\2', 'g')"
+    c = f"regexp_replace({c}, '([0-9])([A-Za-z])', '\\1 \\2', 'g')"
+    c = f"lower({c})"
+    c = f"regexp_replace({c}, '[^a-z0-9]+', ' ', 'g')"
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    toks = (
+        f"list_filter(string_split(trim({c}), ' '), "
+        f"x -> x <> '' AND NOT list_contains({sw}, x))"
+    )
+    toks = (
+        f"(CASE WHEN contains({expr}, '$') AND len({toks}) > 0 "
+        f"AND {toks}[1] <> {expr} "
+        f"THEN list_append({toks}, '$') ELSE {toks} END)"
+    )
+    joined = f"coalesce(array_to_string({toks}, ' '), '')"
+    return f"(CASE WHEN {joined} = '' THEN 'null' ELSE {joined} END)"
 
 
 def duck_simple_norm(expr: str) -> str:

@@ -84,3 +84,50 @@ def test_simple_norm_cross_engine(values):
 @given(st.lists(_value, min_size=1, max_size=25))
 def test_guess_type_cross_engine(values):
     _compare(values, guess_type, duck_guess_type("v"))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_value, min_size=1, max_size=25))
+def test_clear_string_cross_engine(values):
+    from mannheimsearchjoinsengine_spark.functions.normalize import (
+        clear_string,
+        duck_clear_string,
+    )
+
+    _compare(values, clear_string, duck_clear_string("v"))
+
+
+def test_clear_string_golden():
+    """Lucene WordDelimiterFilter parity goldens
+    (StringNormalizer.java:83-141): camelCase + acronym splits, possessive
+    strip, digit boundaries, stop set, '$' append, greedy bracket removal,
+    custom-stopword hook, empty→'null'."""
+    from mannheimsearchjoinsengine_spark.functions.normalize import clear_string
+
+    spark = _spark()
+
+    def run(vals, **kw):
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        rows = df.select("v", clear_string(F.col("v"), **kw).alias("o")).collect()
+        return {r.v: r.o for r in rows}
+
+    got = run([
+        "PowerShot", "XMLParser2000", "O'Neil's", "The Lord of the Rings",
+        "Cost $5", "$", "founded by founder editing editor", "&nbsp;hello",
+        "5m", "mixedCASEWord",
+    ])
+    assert got["PowerShot"] == "power shot"            # splitOnCaseChange
+    assert got["XMLParser2000"] == "xml parser 2000"   # acronym + digit boundary
+    assert got["O'Neil's"] == "o neil"                 # stemEnglishPossessive
+    assert got["The Lord of the Rings"] == "lord rings"  # Lucene stop set
+    assert got["Cost $5"] == "cost 5 $"                # '$' quirk (:136-139)
+    assert got["$"] == "null"                          # empty → NULL_VALUE
+    assert got["founded by founder editing editor"] == "founded founder editing editor"
+    assert got["&nbsp;hello"] == "hello"
+    assert got["5m"] == "5 m"                          # splitOnNumerics
+    assert got["mixedCASEWord"] == "mixed case word"
+
+    # greedy bracket removal: Java '\(.*\)' spans first '(' to LAST ')'
+    assert run(["x (b) c (d) y"], remove_brackets=True)["x (b) c (d) y"] == "x y"
+    # custom-stopword hook (StringNormalizer.java:116-124), case-insensitive
+    assert run(["Acme Corp"], custom_stopwords=["Acme"])["Acme Corp"] == "corp"
