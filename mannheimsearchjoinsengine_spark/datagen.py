@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATAGEN_VERSION = 6  # bump when the grammar changes → regenerates caches
+DATAGEN_VERSION = 7  # bump when the grammar changes → regenerates caches
 # Small row groups so Spark can split the single parquet file into many scan
 # tasks (a 1M-row default row group caps scan parallelism at ~2 tasks).
 ROW_GROUP_SIZE = 50_000
@@ -152,6 +152,16 @@ def _entity_catalog():
                     facts.append(("height", f"{h} cm", f"{h + 2} cm"))
                 w = rng.randint(50, 110)
                 facts.append(("weight", f"{w} kg", f"{w + 1} kg"))
+                # ambiguous-"m" durations: the commute predicate's majority
+                # family is time (70% "min"), so its "m" values must read as
+                # MINUTES (unit_normalize predicate-context disambiguation —
+                # the header-bracket analog, ColumnTypeGuesser.java:52-62);
+                # height's "m" stays metre under its cm-majority.
+                cm_ = rng.randint(10, 120)
+                if rng.random() < 0.3:
+                    facts.append(("commute", f"{cm_} m", f"{cm_ + 5} m"))
+                else:
+                    facts.append(("commute", f"{cm_} min", f"{cm_ + 5} min"))
                 d = datetime(rng.randint(1930, 2005), rng.randint(1, 12), rng.randint(1, 28))
                 fmt = rng.choice(DATE_FORMATS)
                 facts.append(("born", d.strftime(fmt), d.replace(year=d.year - 1).strftime(fmt)))

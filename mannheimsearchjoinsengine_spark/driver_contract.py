@@ -245,6 +245,61 @@ def duck_unit_case() -> tuple[str, str]:
     return f"round({num} * {rate}, 4)", base
 
 
+def unit_norm_body() -> str:
+    """Twin of fuse.unit_normalize(disambiguate=True): flat-dictionary
+    conversion plus the predicate-majority-family reading of ambiguous
+    abbreviations (units.AMBIGUOUS_UNITS — one shared table)."""
+    from mannheimsearchjoinsengine_spark.functions.units import (
+        AMBIGUOUS_UNITS,
+        UNIT_FAMILY,
+    )
+
+    base_value, base_unit = duck_unit_case()
+    fam = "CASE " + " ".join(
+        f"WHEN u_abbr = '{a}' THEN '{f}'"
+        for a, f in UNIT_FAMILY.items()
+        if a not in AMBIGUOUS_UNITS
+    ) + " END"
+    amb_val = " ".join(
+        f"WHEN u_abbr = '{a}' AND major_family = '{fm}' THEN round(u_num * {r!r}, 4)"
+        for a, readings in AMBIGUOUS_UNITS.items()
+        for fm, (_, r) in readings.items()
+    )
+    amb_base = " ".join(
+        f"WHEN u_abbr = '{a}' AND major_family = '{fm}' THEN '{b}'"
+        for a, readings in AMBIGUOUS_UNITS.items()
+        for fm, (b, _) in readings.items()
+    )
+    lc = "lower(trim(obj_raw))"
+    u_num = (
+        f"try_cast(replace(regexp_extract({lc},"
+        " '^(-?[0-9][0-9,]*(\\.[0-9]+)?) ', 1), ',', '') AS DOUBLE)"
+    )
+    u_abbr = f"regexp_extract({lc}, ' ([a-z0-9]+)$', 1)"
+    return f""",
+ur AS (
+  SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
+         {u_num} AS u_num, {u_abbr} AS u_abbr,
+         {base_value} AS dflt_value, {base_unit} AS dflt_unit
+  FROM cells WHERE dtype = 'unit'
+),
+votes AS (
+  SELECT pred_raw, family, count(*) AS n FROM (
+    SELECT pred_raw, {fam} AS family FROM ur)
+  WHERE family IS NOT NULL GROUP BY 1, 2
+),
+major AS (
+  SELECT pred_raw, family AS major_family FROM (
+    SELECT *, row_number() OVER (PARTITION BY pred_raw
+                                 ORDER BY n DESC, family ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
+       CASE {amb_val} ELSE dflt_value END AS base_value,
+       CASE {amb_base} ELSE dflt_unit END AS base_unit
+FROM ur LEFT JOIN major USING (pred_raw)"""
+
+
 def postings_body() -> str:
     return f""",
 labels AS (
@@ -1176,16 +1231,10 @@ FROM fused f JOIN kept_preds k ON f.pred_raw = k.pred_raw
 GROUP BY 1""",
     )
 
-    base_value, base_unit = duck_unit_case()
     q(
         "kg_unit_norm",
         lambda spark, sf: fuse.unit_normalize(_cells_ck(spark, sf)),
-        cells_prelude(tpath)
-        + f"""
-SELECT conv_id, turn_idx, subj_norm, pred_raw, obj_raw,
-       {base_value} AS base_value,
-       {base_unit} AS base_unit
-FROM cells WHERE dtype = 'unit'""",
+        cells_prelude(tpath) + unit_norm_body(),
     )
 
     q(

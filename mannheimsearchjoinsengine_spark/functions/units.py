@@ -7,15 +7,22 @@ base). Rates are the reference's own constants, copied value-for-value from
 the pipe-delimited tables; the base unit of each family is the table's
 first row (rate 1.0) — metre, square metre, gram, second.
 
-Two deliberate reductions vs the reference, both documented:
+Deliberate reduction vs the reference (documented): abbreviations are
+matched lowercase (the type-guess cascade lowercases values first), so
+case-colliding pairs like Mm (megametre) vs mm are out of scope — the
+synthetic corpus never emits them.
 
-* abbreviations are matched lowercase (the type-guess cascade lowercases
-  values first), so case-colliding pairs like Mm (megametre) vs mm are out
-  of scope — the synthetic corpus never emits them;
-* the reference resolves the minute/metre collision on "m" per column
-  header (``parsers/UnitParser.java:105-115`` reads bracketed header
-  abbreviations); a flat value-only dictionary cannot, so "m" is metre
-  here and minute keeps its unambiguous "min".
+The minute/metre collision on "m" (Length.txt row 1 lists "m" for metre;
+Time.txt's minute row lists "m","min",... with rate 60) is resolved by
+CONTEXT: the reference reads a bracketed column-header abbreviation and
+prepends it to the value before parsing
+(``TableProcessor/ColumnTypeGuesser.java:52-62`` +
+``extractUnitAbbrFromHeader:105-115``). The transcript analog is the
+predicate: ``fuse.unit_normalize`` elects each predicate's majority unit
+FAMILY from its unambiguous values and reads ambiguous abbreviations in
+that family (``AMBIGUOUS_UNITS``); with no family evidence, "m" stays
+metre (the flat-dictionary default — the reference's value-only fallback
+hits a HashMap-iteration-order tie there, which is not twinnable).
 
 ``MUSD`` (million USD) is the synthetic corpus's currency compound
 (Numbers.txt ``million``=1e6 applied to a USD base).
@@ -63,6 +70,38 @@ UNIT_RATES: dict[str, tuple[str, float]] = {
     # currency compound for the synthetic corpus (Numbers.txt million=1e6)
     "musd": ("usd", 1_000_000.0),
 }
+
+
+# family of each abbreviation (the Convertible table it came from) — the
+# vote grain for predicate-context disambiguation
+UNIT_FAMILY: dict[str, str] = {
+    **{a: "length" for a in ("mm", "cm", "dm", "m", "km", "in", "ft", "yd", "mi", "nmi")},
+    **{a: "area" for a in ("mm2", "cm2", "m2", "ha", "km2", "sqft", "sqyd", "acre", "mi2")},
+    **{a: "mass" for a in ("mg", "g", "kg", "t", "oz", "lb", "st")},
+    **{a: "time" for a in ("ms", "s", "min", "h", "d")},
+    "musd": "currency",
+}
+
+# abbr -> family -> (base_unit, rate): the readings an ambiguous abbreviation
+# takes under each family's context. "m" is metre (Length.txt:1) under a
+# length-majority predicate and minute (Time.txt minute row, rate 60 s)
+# under a time-majority one.
+AMBIGUOUS_UNITS: dict[str, dict[str, tuple[str, float]]] = {
+    "m": {"length": ("m", 1.0), "time": ("s", 60.0)},
+}
+
+
+def unit_family(abbr):
+    """Column expr: family of an UNambiguous abbreviation, NULL for
+    ambiguous ones (they don't vote) and unknown strings."""
+    from pyspark.sql import functions as F
+
+    fam = F.lit(None).cast("string")
+    for a, f in UNIT_FAMILY.items():
+        if a in AMBIGUOUS_UNITS:
+            continue
+        fam = F.when(abbr == a, F.lit(f)).otherwise(fam)
+    return fam
 
 
 def unit_alternation() -> str:

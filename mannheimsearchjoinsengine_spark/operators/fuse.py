@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 # abbreviation -> (base_unit, rate): the reference's Units/Convertible
 # tables re-derived in functions/units.py (units/UnitManager.java:162-240);
 # re-exported here because the fusion stage is the conversion call site.
-from mannheimsearchjoinsengine_spark.functions.units import UNIT_RATES  # noqa: E402
+from mannheimsearchjoinsengine_spark.functions.units import (  # noqa: E402
+    AMBIGUOUS_UNITS,
+    UNIT_RATES,
+    unit_family,
+)
 
 COLUMN_DENSITY = 0.3  # searchJoins.conf:73 data.columnDensity
 ROW_DENSITY = 0.3  # searchJoins.conf:74 data.rowDensity
@@ -176,20 +180,65 @@ def to_base_unit(num: Column, abbr: Column) -> tuple[Column, Column]:
     return F.round(num * rate, 4), base
 
 
-def unit_normalize(cells: DataFrame) -> DataFrame:
-    """P16 — rewrite unit-typed cells to (base_value, base_unit); everything
-    stays whole-stage codegen."""
+def unit_normalize(cells: DataFrame, disambiguate: bool = True) -> DataFrame:
+    """P16 — rewrite unit-typed cells to (base_value, base_unit).
+
+    Ambiguous abbreviations ("m": metre vs minute — the collision the
+    reference resolves from bracketed column headers,
+    ``TableProcessor/ColumnTypeGuesser.java:52-62`` +
+    ``extractUnitAbbrFromHeader:105-115``) are read in the PREDICATE's
+    majority unit family: each predicate's unambiguous unit values vote for
+    their family (one tiny (pred, family) aggregate, broadcast back), and an
+    ambiguous value under e.g. a time-majority predicate converts as minute.
+    No family evidence → flat-dictionary default (metre). Everything stays
+    whole-stage codegen; the vote table is schema-scale and broadcast."""
     u = cells.filter(F.col("dtype") == "unit")
     num, abbr = split_unit(F.col("obj_raw"))
     base_value, base_unit = to_base_unit(num, abbr)
-    return u.select(
+    out = u.select(
         "conv_id",
         "turn_idx",
         "subj_norm",
         "pred_raw",
         "obj_raw",
+        num.alias("_num"),
+        abbr.alias("_abbr"),
         base_value.alias("base_value"),
         base_unit.alias("base_unit"),
+    )
+    if disambiguate:
+        votes = (
+            out.select("pred_raw", unit_family(F.col("_abbr")).alias("family"))
+            .filter(F.col("family").isNotNull())
+            .groupBy("pred_raw", "family")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("pred_raw").orderBy(F.desc("n"), F.asc("family"))
+        major = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("pred_raw", F.col("family").alias("_major_family"))
+        )
+        out = out.join(F.broadcast(major), "pred_raw", "left")
+        for a, readings in AMBIGUOUS_UNITS.items():
+            for fam, (b, r) in readings.items():
+                cond = (F.col("_abbr") == a) & (F.col("_major_family") == fam)
+                out = out.withColumn(
+                    "base_value",
+                    F.when(cond, F.round(F.col("_num") * F.lit(r), 4)).otherwise(
+                        F.col("base_value")
+                    ),
+                ).withColumn(
+                    "base_unit", F.when(cond, F.lit(b)).otherwise(F.col("base_unit"))
+                )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "subj_norm",
+        "pred_raw",
+        "obj_raw",
+        "base_value",
+        "base_unit",
     )
 
 

@@ -63,20 +63,105 @@ DATE_FORMATS: list[tuple[str, str]] = [
     # DateUtil.java:122): in the reference every 4-digit integer IS a date
     ("yyyy", "%Y"),
 ]
-# deliberate omissions vs parsers/DateUtil.java:43-123, documented: 2-digit
-# year formats (dd.MM.yy etc.) — Java SimpleDateFormat's 80/20 century window
-# differs from DuckDB's %y pivot, so they cannot be twinned bit-identically;
-# and the timestamp formats (yyyyMMddHHmm etc.) — sub-day grain is out of
-# scope for the day-grain triple store.
-
 DATE_PATTERNS = [s for s, _ in DATE_FORMATS]  # spark-side list
 
+# 2-digit-year formats (parsers/DateUtil.java:49-51,55-57,77-80): Spark-side
+# only — Java SimpleDateFormat's 80/20 century window (docs: "80 years before
+# and 20 years after instance creation") differs from DuckDB's fixed %y
+# pivot, so these are NOT in the oracle cascade; golden pytests pin them.
+# The reference's window floats with the wall clock (not reproducible across
+# runs); CENTURY_NOW_YEAR pins it so checkpoint resume stays byte-identical.
+CENTURY_NOW_YEAR = 2026
+# value-shape gates (separator backreference keeps dd.MM-yy mixes out, which
+# the reference's regex table also never matches)
+_TWO_DIGIT_SHAPES = (
+    r"^[0-9]{1,2}([./-])[0-9]{1,2}\1[0-9]{2}$"  # dd.MM.yy / dd-MM-yy / dd/MM/yy
+    r"|^[0-9]{1,2}[./-][0-9]{2}$"  # MM.yy / MM-yy / MM/yy
+    r"|^[0-9]{1,2}[ .//-][A-Za-z]{2,}[ .//-][0-9]{2}$"  # dd MMMM yy family
+)
 
-def parse_any_date(col: Column) -> Column:
+# timestamp formats (DateUtil.java:82-121), Spark-side only (sub-day grain
+# has no twin in the day-grain oracle store). Strict parsing — the
+# reference's lenient SimpleDateFormat rollovers (month 34 → year+2) are
+# deliberately NOT replicated.
+TIMESTAMP_FORMATS = [
+    "yyyyMMddHHmm",
+    "yyyyMMdd HHmm",
+    "dd-MM-yyyy HH:mm",
+    "yyyy-MM-dd HH:mm",
+    "MM/dd/yyyy HH:mm",
+    "yyyy/MM/dd HH:mm",
+    "dd MMM yyyy HH:mm",
+    "dd MMMM yyyy HH:mm",
+    "yyyyMMddHHmmss",
+    "yyyyMMdd HHmmss",
+    "dd-MM-yyyy HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyy/MM/dd HH:mm:ss",
+    "dd MMM yyyy HH:mm:ss",
+    "dd MMMM yyyy HH:mm:ss",
+    "dd MMMM yyyy HH:mm:ss.SSSSSS",
+    "dd MM yyyy HH:mm:ss.SSSSSS",
+    "yyyy MM dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "dd MMMM yyyy HH:mm:ss.SS",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",  # Java ZZZ offset form (DateUtil.java:120)
+]
+
+
+# parse order for century-expanded values — day-first for the numeric
+# 3-field shapes (DateUtil's 2-digit rows are dd.MM.yy/dd-MM-yy/dd/MM/yy;
+# there is no MM/dd/yy row), then the month-first 2-field and text shapes
+_TWO_DIGIT_PATTERNS = [
+    "dd/MM/yyyy",
+    "dd.MM.yyyy",
+    "dd-MM-yyyy",
+    "MM.yyyy",
+    "MM-yyyy",
+    "MM/yyyy",
+    "dd MMM yyyy",
+    "dd MMMM yyyy",
+    "dd-MMMM-yyyy",
+    "dd.MMMM.yyyy",
+    "dd/MMMM/yyyy",
+]
+
+
+def expand_two_digit_year(col: Column, now_year: int = CENTURY_NOW_YEAR) -> Column:
+    """Rewrite a trailing 2-digit year to its SimpleDateFormat century
+    (window [now-80, now+19]) so the 4-digit cascade can parse it; NULL when
+    the value isn't a 2-digit-year shape."""
+    start = now_year - 80
+    yy = F.regexp_extract(col, r"([0-9]{2})$", 1).try_cast("int")
+    full = F.lit(start) + ((yy - F.lit(start % 100) + 100) % 100)
+    rewritten = F.concat(
+        F.substring(col, F.lit(1), F.length(col) - 2), full.cast("string")
+    )
+    return F.when(col.rlike(_TWO_DIGIT_SHAPES), rewritten)
+
+
+def parse_any_date(col: Column, two_digit_years: bool = False) -> Column:
     """Format cascade of ``parsers/DateUtil.java:45-123,179-217`` reduced to
     the unambiguous day-grain formats; native `try_to_date` (ANSI-safe:
-    wrong-format values fall through to the next pattern)."""
-    return F.coalesce(*[F.try_to_date(col, p) for p in DATE_PATTERNS])
+    wrong-format values fall through to the next pattern).
+
+    ``two_digit_years=True`` appends the dd.MM.yy family: the 2-digit year
+    is century-expanded per the Java 80/20 window and re-parsed day-first
+    (the reference's 2-digit slashed format is dd/MM/yy ONLY,
+    ``DateUtil.java:49-51`` — no MM/dd/yy row, unlike the 4-digit pair).
+    Off by default — the DuckDB oracle cannot mirror the century window."""
+    tries = [F.try_to_date(col, p) for p in DATE_PATTERNS]
+    if two_digit_years:
+        expanded = expand_two_digit_year(col)
+        tries += [F.try_to_date(expanded, p) for p in _TWO_DIGIT_PATTERNS]
+    return F.coalesce(*tries)
+
+
+def parse_any_timestamp(col: Column) -> Column:
+    """Sub-day cascade (DateUtil.java:82-121) — returns TIMESTAMP; callers
+    wanting the day-grain store cast to date."""
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(p)) for p in TIMESTAMP_FORMATS])
 
 
 def duck_parse_date(expr: str) -> str:

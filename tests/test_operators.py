@@ -539,3 +539,56 @@ def test_ngram_jaccard_df_cap_blocks_boilerplate(spark):
     assert uncapped[(0, 1)] == (shared, jac), "cap must not change scores"
     # uncapped blocking would have produced candidates for every pair
     assert len(uncapped) > len(pairs)
+
+
+def test_two_digit_year_and_timestamp_goldens(spark):
+    """Spark-side-only date formats (no DuckDB twin possible): the 2-digit
+    year family uses SimpleDateFormat's 80/20 century window pinned at
+    CENTURY_NOW_YEAR=2026 → window [1946, 2045] (DateUtil.java:49-57,77-80);
+    the slashed 2-digit form is dd/MM/yy ONLY (no MM/dd/yy row). Timestamp
+    formats parse strictly (no lenient rollover)."""
+    import datetime
+
+    from mannheimsearchjoinsengine_spark.operators.resolve import (
+        parse_any_date,
+        parse_any_timestamp,
+    )
+
+    date_goldens = {
+        "03.07.94": datetime.date(1994, 7, 3),    # dd.MM.yy
+        "01/02/45": datetime.date(2045, 2, 1),    # dd/MM/yy — NOT month-first
+        "02-03-46": datetime.date(1946, 3, 2),    # dd-MM-yy, window edge low
+        "07/45": datetime.date(2045, 7, 1),       # MM/yy, window edge high
+        "12-26": datetime.date(2026, 12, 1),      # MM-yy
+        "05 May 94": datetime.date(1994, 5, 5),   # dd MMMM yy (text family)
+        "03-May-46": datetime.date(1946, 5, 3),
+        "2026-01-02": datetime.date(2026, 1, 2),  # 4-digit cascade unaffected
+        "04/05/1987": datetime.date(1987, 4, 5),  # MM/dd/yyyy priority intact
+    }
+    df = spark.createDataFrame([(v,) for v in date_goldens], ["v"])
+    got = {
+        r.v: r.d
+        for r in df.select(
+            "v", parse_any_date(F.col("v"), two_digit_years=True).alias("d")
+        ).collect()
+    }
+    for v, want in date_goldens.items():
+        assert got[v] == want, f"{v!r}: got {got[v]}, want {want}"
+
+    ts_goldens = {
+        "202601021530": datetime.datetime(2026, 1, 2, 15, 30),      # yyyyMMddHHmm
+        "20260102 153045": datetime.datetime(2026, 1, 2, 15, 30, 45),
+        "2026-01-02 15:30:45": datetime.datetime(2026, 1, 2, 15, 30, 45),
+        "02 May 2026 15:30": datetime.datetime(2026, 5, 2, 15, 30),
+        "03 May 2026 15:30:45.123456":
+            datetime.datetime(2026, 5, 3, 15, 30, 45, 123456),
+        "13/02/2026 10:00": None,  # MM/dd/yyyy HH:mm strict: month 13 fails
+        "nonsense": None,
+    }
+    df2 = spark.createDataFrame([(v,) for v in ts_goldens], ["v"])
+    got2 = {
+        r.v: r.t
+        for r in df2.select("v", parse_any_timestamp(F.col("v")).alias("t")).collect()
+    }
+    for v, want in ts_goldens.items():
+        assert got2[v] == want, f"{v!r}: got {got2[v]}, want {want}"
