@@ -9,21 +9,50 @@ multi-label public suffixes (all public knowledge, same data the PSL
 publishes) plus ``load_psl()`` to ingest a full ``public_suffix_list.dat``
 file when one is available on the cluster.
 
-Both the Spark expressions and their DuckDB twins implement the same rule:
+Both the Spark expressions and their DuckDB twins implement the PSL
+algorithm over a rule set (exact rules up to 3 labels, wildcard rules
+``*.ck``, exception rules ``!www.ck``):
 
-    parts  = host split on '.'
-    suffix = last-2 labels if they form a known multi-label public suffix,
-             else the last label
+    exception match  → suffix = the exception minus its leftmost label
+    else longest of: 3-label exact | (2-label wildcard base)+1 label
+                   | 2-label exact | (1-label wildcard base)+1 label
+    else             → the last label
     registered_domain = suffix plus one more label to its left
+                        (a host that IS a bare suffix maps to itself)
 
-Wildcard PSL rules (``*.ck``) and exceptions (``!www.ck``) are out of
-scope for the builtin subset and documented as such in ``load_psl``.
+The builtin curated set (``PSL_2LEVEL``) is exact-2-label only; a full
+``public_suffix_list.dat`` ingested by ``load_psl`` exercises all three
+rule kinds. Exact rules with ≥4 labels (a handful of ``k12.*.us``-style
+zones) are truncated out by ``load_psl`` and documented there.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+class PslRules(NamedTuple):
+    """A parsed PSL rule set. ``exact``: suffix strings (1-3 labels);
+    ``wildcard``: the base under a ``*.`` rule (``*.ck`` → ``ck``);
+    ``exception``: the suffix string of a ``!`` rule (``!www.ck`` →
+    ``www.ck``)."""
+
+    exact: tuple[str, ...]
+    wildcard: tuple[str, ...] = ()
+    exception: tuple[str, ...] = ()
+
+
+def _rules(suffixes) -> PslRules:
+    if isinstance(suffixes, PslRules):
+        return suffixes
+    return PslRules(exact=tuple(suffixes))
+
+
+def _by_labels(rules: tuple[str, ...], n: int) -> tuple[str, ...]:
+    return tuple(s for s in rules if s.count(".") == n - 1)
 
 # Curated multi-label (2-level) public suffixes — the high-traffic subset
 # of the PSL's ccTLD registrations plus the CentralNic-style *.XX.com zones.
@@ -75,23 +104,40 @@ PSL_2LEVEL: tuple[str, ...] = tuple(sorted({
 }))
 
 
-def load_psl(path: str) -> tuple[str, ...]:
-    """Parse a full ``public_suffix_list.dat`` into multi-label suffixes.
+def load_psl(path: str) -> PslRules:
+    """Parse a full ``public_suffix_list.dat`` into a :class:`PslRules`.
 
-    Keeps exact rules with ≥2 labels (the 1-label rules are the trivial
-    TLD fallback already handled); skips comments, blank lines, wildcard
-    rules (``*.``) and exceptions (``!``) — documenting, not hiding, the
-    simplification: wildcard zones (a handful of ccTLDs) fall back to
-    last-2-labels. Pass the result as ``suffixes=`` to the extractors."""
-    out: set[str] = set()
+    * exact rules: kept with 2-3 labels (1-label rules are the trivial TLD
+      fallback; the few ≥4-label rules are dropped — the extractors evaluate
+      up to last-3, and truncating, not silently mis-scoping, is the
+      documented reduction);
+    * wildcard rules ``*.X``: the base ``X`` is kept (1-2 labels);
+    * exception rules ``!E``: the suffix ``E`` is kept (2-3 labels).
+
+    Pass the result as ``suffixes=`` to the extractors."""
+    exact: set[str] = set()
+    wildcard: set[str] = set()
+    exception: set[str] = set()
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("//") or line.startswith("!") or "*" in line:
+        for raw in f:
+            line = raw.strip().lower()
+            if not line or line.startswith("//"):
                 continue
-            if "." in line:
-                out.add(line.lower())
-    return tuple(sorted(out))
+            if line.startswith("!"):
+                e = line[1:]
+                if 1 <= e.count(".") <= 2:
+                    exception.add(e)
+            elif line.startswith("*."):
+                b = line[2:]
+                if b.count(".") <= 1 and "*" not in b:
+                    wildcard.add(b)
+            elif "*" not in line and 1 <= line.count(".") <= 2:
+                exact.add(line)
+    return PslRules(
+        exact=tuple(sorted(exact)),
+        wildcard=tuple(sorted(wildcard)),
+        exception=tuple(sorted(exception)),
+    )
 
 
 def _last_labels(host: Column):
@@ -99,23 +145,46 @@ def _last_labels(host: Column):
     last1 = F.try_element_at(parts, F.lit(-1))
     last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)), last1)
     last3 = F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2)
-    return F.size(parts), last1, last2, last3
+    last4 = F.concat_ws(".", F.try_element_at(parts, F.lit(-4)), last3)
+    return F.size(parts), last1, last2, last3, last4
 
 
-def public_suffix(host: Column, suffixes: tuple[str, ...] = PSL_2LEVEL) -> Column:
-    """Effective TLD of a hostname: the last 2 labels when they are a known
-    multi-label public suffix, else the last label."""
-    n, last1, last2, _ = _last_labels(host)
-    return F.when((n >= 2) & last2.isin(*suffixes), last2).otherwise(last1)
+def _isin(col: Column, values: tuple[str, ...]) -> Column:
+    return col.isin(*values) if values else F.lit(False)
 
 
-def registered_domain(host: Column, suffixes: tuple[str, ...] = PSL_2LEVEL) -> Column:
+def public_suffix(host: Column, suffixes=PSL_2LEVEL) -> Column:
+    """Effective TLD of a hostname under the PSL algorithm (module
+    docstring). With the default exact-2-label subset this reduces to:
+    last-2 labels if known, else the last label."""
+    r = _rules(suffixes)
+    n, last1, last2, last3, _ = _last_labels(host)
+    return (
+        F.when(_isin(last3, _by_labels(r.exception, 3)), last2)
+        .when(_isin(last2, _by_labels(r.exception, 2)), last1)
+        .when((n >= 3) & _isin(last3, _by_labels(r.exact, 3)), last3)
+        .when((n >= 3) & _isin(last2, _by_labels(r.wildcard, 2)), last3)
+        .when((n >= 2) & _isin(last2, _by_labels(r.exact, 2)), last2)
+        .when((n >= 2) & _isin(last1, _by_labels(r.wildcard, 1)), last2)
+        .otherwise(last1)
+    )
+
+
+def registered_domain(host: Column, suffixes=PSL_2LEVEL) -> Column:
     """eTLD+1: one label left of the public suffix (``www.bbc.co.uk`` →
     ``bbc.co.uk``; ``www.example.com`` → ``example.com``; a bare suffix or
     single-label host maps to itself)."""
-    n, _, last2, last3 = _last_labels(host)
+    r = _rules(suffixes)
+    n, last1, last2, last3, last4 = _last_labels(host)
     return (
-        F.when((n >= 3) & last2.isin(*suffixes), last3)
+        F.when(_isin(last3, _by_labels(r.exception, 3)), last3)
+        .when(_isin(last2, _by_labels(r.exception, 2)), last2)
+        .when((n >= 4) & _isin(last3, _by_labels(r.exact, 3)), last4)
+        .when((n >= 3) & _isin(last3, _by_labels(r.exact, 3)), last3)  # host IS the suffix
+        .when((n >= 4) & _isin(last2, _by_labels(r.wildcard, 2)), last4)
+        .when((n >= 3) & _isin(last2, _by_labels(r.wildcard, 2)), last3)  # host IS the suffix
+        .when((n >= 3) & _isin(last2, _by_labels(r.exact, 2)), last3)
+        .when((n >= 3) & _isin(last1, _by_labels(r.wildcard, 1)), last3)
         .when(n >= 2, last2)
         .otherwise(host)
     )
@@ -125,23 +194,45 @@ def _duck_in_list(suffixes: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{s}'" for s in suffixes) + ")"
 
 
-def duck_public_suffix(host_expr: str, suffixes: tuple[str, ...] = PSL_2LEVEL) -> str:
-    """DuckDB twin of :func:`public_suffix` (same rule, same subset)."""
-    parts = f"string_split({host_expr}, '.')"
-    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
-    return (
-        f"(CASE WHEN len({parts}) >= 2 AND {last2} IN {_duck_in_list(suffixes)} "
-        f"THEN {last2} ELSE {parts}[-1] END)"
-    )
+def _duck_cond(expr: str, values: tuple[str, ...]) -> str:
+    return f"{expr} IN {_duck_in_list(values)}" if values else "FALSE"
 
 
-def duck_registered_domain(host_expr: str, suffixes: tuple[str, ...] = PSL_2LEVEL) -> str:
-    """DuckDB twin of :func:`registered_domain`."""
+def duck_public_suffix(host_expr: str, suffixes=PSL_2LEVEL) -> str:
+    """DuckDB twin of :func:`public_suffix` (same rules, same algorithm)."""
+    r = _rules(suffixes)
     parts = f"string_split({host_expr}, '.')"
+    last1 = f"{parts}[-1]"
     last2 = f"({parts}[-2] || '.' || {parts}[-1])"
     last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
     return (
-        f"(CASE WHEN len({parts}) >= 3 AND {last2} IN {_duck_in_list(suffixes)} "
-        f"THEN {last3} WHEN len({parts}) >= 2 THEN {last2} "
+        f"(CASE WHEN {_duck_cond(last3, _by_labels(r.exception, 3))} THEN {last2} "
+        f"WHEN {_duck_cond(last2, _by_labels(r.exception, 2))} THEN {last1} "
+        f"WHEN len({parts}) >= 3 AND {_duck_cond(last3, _by_labels(r.exact, 3))} THEN {last3} "
+        f"WHEN len({parts}) >= 3 AND {_duck_cond(last2, _by_labels(r.wildcard, 2))} THEN {last3} "
+        f"WHEN len({parts}) >= 2 AND {_duck_cond(last2, _by_labels(r.exact, 2))} THEN {last2} "
+        f"WHEN len({parts}) >= 2 AND {_duck_cond(last1, _by_labels(r.wildcard, 1))} THEN {last2} "
+        f"ELSE {last1} END)"
+    )
+
+
+def duck_registered_domain(host_expr: str, suffixes=PSL_2LEVEL) -> str:
+    """DuckDB twin of :func:`registered_domain`."""
+    r = _rules(suffixes)
+    parts = f"string_split({host_expr}, '.')"
+    last1 = f"{parts}[-1]"
+    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
+    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    last4 = f"({parts}[-4] || '.' || {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    return (
+        f"(CASE WHEN {_duck_cond(last3, _by_labels(r.exception, 3))} THEN {last3} "
+        f"WHEN {_duck_cond(last2, _by_labels(r.exception, 2))} THEN {last2} "
+        f"WHEN len({parts}) >= 4 AND {_duck_cond(last3, _by_labels(r.exact, 3))} THEN {last4} "
+        f"WHEN len({parts}) >= 3 AND {_duck_cond(last3, _by_labels(r.exact, 3))} THEN {last3} "
+        f"WHEN len({parts}) >= 4 AND {_duck_cond(last2, _by_labels(r.wildcard, 2))} THEN {last4} "
+        f"WHEN len({parts}) >= 3 AND {_duck_cond(last2, _by_labels(r.wildcard, 2))} THEN {last3} "
+        f"WHEN len({parts}) >= 3 AND {_duck_cond(last2, _by_labels(r.exact, 2))} THEN {last3} "
+        f"WHEN len({parts}) >= 3 AND {_duck_cond(last1, _by_labels(r.wildcard, 1))} THEN {last3} "
+        f"WHEN len({parts}) >= 2 THEN {last2} "
         f"ELSE {host_expr} END)"
     )

@@ -326,15 +326,77 @@ def test_date_format_cascade_cross_engine(spark):
 
 
 def test_load_psl(tmp_path):
-    """load_psl parses a publicsuffix.dat: keeps exact multi-label rules,
-    skips comments / wildcards / exceptions / 1-label TLDs."""
-    from mannheimsearchjoinsengine_spark.functions.domains import load_psl
+    """load_psl parses a publicsuffix.dat into the three PSL rule kinds:
+    exact (2-3 labels), wildcard bases (``*.ck`` → ``ck``), exceptions
+    (``!www.ck`` → ``www.ck``); comments / 1-label TLDs / ≥4-label exact
+    rules are dropped."""
+    from mannheimsearchjoinsengine_spark.functions.domains import PslRules, load_psl
 
     dat = tmp_path / "psl.dat"
     dat.write_text(
         "// comment\n\ncom\nco.uk\n*.ck\n!www.ck\nsch.uk\n ac.uk \nuk\n"
+        "act.edu.au\na.b.c.d\n*.kawasaki.jp\n!city.kawasaki.jp\n"
     )
-    assert load_psl(str(dat)) == ("ac.uk", "co.uk", "sch.uk")
+    assert load_psl(str(dat)) == PslRules(
+        exact=("ac.uk", "act.edu.au", "co.uk", "sch.uk"),
+        wildcard=("ck", "kawasaki.jp"),
+        exception=("city.kawasaki.jp", "www.ck"),
+    )
+
+
+def test_psl_wildcard_exception_rules(spark):
+    """Full PSL rule evaluation (utils/DomainUtils.java carries the baked
+    list; the wildcard/exception algorithm is the published PSL one):
+    ``*.ck`` makes every child of ck a public suffix, ``!www.ck`` carves
+    www.ck back out; 3-label exact rules (act.edu.au) score over last-2;
+    Spark and the DuckDB twins agree value-for-value."""
+    import duckdb
+
+    from mannheimsearchjoinsengine_spark.functions.domains import (
+        PslRules,
+        duck_public_suffix,
+        duck_registered_domain,
+        public_suffix,
+        registered_domain,
+    )
+
+    rules = PslRules(
+        exact=("co.uk", "act.edu.au"),
+        wildcard=("ck", "kawasaki.jp"),
+        exception=("www.ck", "city.kawasaki.jp"),
+    )
+    goldens = [
+        # host, public_suffix, registered_domain
+        ("foo.bar.ck", "bar.ck", "foo.bar.ck"),     # *.ck
+        ("bar.ck", "bar.ck", "bar.ck"),             # host IS a wildcard suffix
+        ("www.ck", "ck", "www.ck"),                 # exception beats wildcard
+        ("sub.www.ck", "ck", "www.ck"),
+        ("x.y.kawasaki.jp", "y.kawasaki.jp", "x.y.kawasaki.jp"),  # 2-label wildcard base
+        ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),  # 3-label exception
+        ("a.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+        ("www.anu.act.edu.au", "act.edu.au", "anu.act.edu.au"),   # 3-label exact
+        ("anu.act.edu.au", "act.edu.au", "anu.act.edu.au"),
+        ("act.edu.au", "act.edu.au", "act.edu.au"),               # bare suffix
+        ("www.bbc.co.uk", "co.uk", "bbc.co.uk"),                  # 2-label exact intact
+        ("plain.com", "com", "plain.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in goldens], ["host"])
+    got = {
+        r.host: (r.ps, r.rd)
+        for r in df.select(
+            "host",
+            public_suffix(F.col("host"), rules).alias("ps"),
+            registered_domain(F.col("host"), rules).alias("rd"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for host, ps, rd in goldens:
+        assert got[host] == (ps, rd), f"spark {host}: got {got[host]}, want {(ps, rd)}"
+        row = con.execute(
+            f"SELECT {duck_public_suffix('h', rules)}, "
+            f"{duck_registered_domain('h', rules)} FROM (SELECT '{host}' AS h)"
+        ).fetchone()
+        assert row == (ps, rd), f"duckdb {host}: got {row}, want {(ps, rd)}"
 
 
 def test_unit_conversion_goldens(spark):
