@@ -926,9 +926,14 @@ typed AS MATERIALIZED (
 
 def marriage_rounds_body(rounds: int = 8) -> str:
     """Unrolled greedy-marriage rounds (oracle twin of
-    match.greedy_marriage, same max_rounds bound): each round accepts the
-    locally-dominant edges (no adjacent edge with higher (s, pred1, pred2)
-    priority) and removes everything touching them."""
+    match.greedy_marriage): each round accepts the locally-dominant edges
+    (no adjacent edge with higher (s, pred1, pred2) priority) and removes
+    everything touching them. The final ``acc`` carries an error() sentinel
+    row-expression over ``rem{rounds}``: leftover edges RAISE (per-row
+    evaluation — zero rows, no error) instead of being silently dropped, so
+    a deeper-than-``rounds`` chain fails this oracle as loudly as the Spark
+    side's round-exhaustion RuntimeError (Spark allows 32 rounds; a corpus
+    that legitimately needs more than 8 should raise ``rounds`` here)."""
     parts = [
         """rem0 AS MATERIALIZED (
   SELECT pred1, pred2, avg_sim AS s FROM typed
@@ -949,6 +954,11 @@ def marriage_rounds_body(rounds: int = 8) -> str:
     SELECT 1 FROM acc{k} a
     WHERE a.pred1 IN (e.pred1, e.pred2) OR a.pred2 IN (e.pred1, e.pred2)))""")
     accs = " UNION ALL ".join(f"SELECT * FROM acc{k}" for k in range(rounds))
+    accs += (
+        f" UNION ALL SELECT pred1, pred2,"
+        f" s + CAST(error('greedy_marriage oracle: edge list not drained in"
+        f" {rounds} rounds') AS DOUBLE) AS s FROM rem{rounds}"
+    )
     parts.append(f"acc AS ({accs})")
     return ",\n" + ",\n".join(parts)
 

@@ -304,7 +304,7 @@ def greedy_marriage(
     left: str = "pred1",
     right: str = "pred2",
     score: str = "avg_sim",
-    max_rounds: int = 8,
+    max_rounds: int = 32,
 ) -> DataFrame:
     """Greedy 1-1 matching by descending score — the distributed, order-free
     form of the reference's sequential decide loop
@@ -318,9 +318,16 @@ def greedy_marriage(
     a deterministic total order (HashMap iteration order in the reference
     is not deterministic; this is the documented stand-in).
 
-    Rounds are O(log E) expected; the edge list is schema²-bounded (tiny),
-    so each round is a broadcast-scale job. Raises on round exhaustion
-    rather than returning a partial matching.
+    Rounds are O(log E) expected on random scores, but a strictly
+    descending-score CHAIN accepts only every other remaining edge per
+    round (~E/2 rounds worst case) — hence max_rounds=32, enough for any
+    chain the schema²-bounded edge list can realistically produce, and each
+    round is a broadcast-scale job over a tiny list. Equal-score chains
+    drain in ONE round (the deterministic (score, pred1, pred2) tie-break
+    makes every odd edge locally dominant — pinned by pytest). Raises on
+    round exhaustion rather than returning a partial matching; the SQL
+    oracle twin (driver_contract.marriage_rounds_body) raises via a
+    per-row error() sentinel the same way.
     """
     cols = [left, right, score]
     e = edges.select(*cols).localCheckpoint()

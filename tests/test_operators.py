@@ -654,3 +654,30 @@ def test_two_digit_year_and_timestamp_goldens(spark):
     }
     for v, want in ts_goldens.items():
         assert got2[v] == want, f"{v!r}: got {got2[v]}, want {want}"
+
+
+def test_greedy_marriage_chains(spark):
+    """Adversarial chain shapes for greedy_marriage: (a) an equal-score
+    chain of 40 edges drains in ONE round under the deterministic
+    (score, pred1, pred2) tie-break (no round exhaustion); (b) a strictly
+    DESCENDING-score chain needs ~E/2 rounds — the max_rounds=32 headroom —
+    and reproduces sequential greedy matching exactly."""
+    from mannheimsearchjoinsengine_spark.operators.match import greedy_marriage
+
+    nodes = [f"a{i:02d}" for i in range(41)]
+    # (a) equal scores: expected matching = every odd edge
+    eq = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1], 1.0) for i in range(40)],
+        ["pred1", "pred2", "avg_sim"],
+    )
+    got = {(r.pred1, r.pred2) for r in greedy_marriage(eq).collect()}
+    want = {(nodes[i], nodes[i + 1]) for i in range(0, 40, 2)}
+    assert got == want
+    # (b) descending scores 40, 39, ...: sequential greedy accepts the same
+    # odd edges but needs ~20 rounds — must NOT exhaust max_rounds
+    desc = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1], float(40 - i)) for i in range(40)],
+        ["pred1", "pred2", "avg_sim"],
+    )
+    got2 = {(r.pred1, r.pred2) for r in greedy_marriage(desc).collect()}
+    assert got2 == want
