@@ -89,16 +89,20 @@ def duck_lsh_bucket(vec_expr: str, n_planes: int, dim: int, plane_offset: int = 
     """DuckDB twin of lsh_bucket: the hyperplane constants are computed in
     Python from the same md5 derivation and inlined as literal arrays, so
     the oracle reproduces the exact buckets (elements double-cast to match
-    Spark's float×double promotion)."""
+    Spark's float×double promotion). The dot product is an EXPLICIT
+    left-to-right list_reduce fold mirroring Spark's sequential
+    zip_with/aggregate — not list_dot_product, whose summation order is
+    unspecified and could flip a near-zero bucket bit under a future
+    SIMD/pairwise implementation."""
     dv = f"list_transform({vec_expr}, x -> CAST(x AS DOUBLE))"
     terms = []
     for p in range(n_planes):
         arr = "[" + ", ".join(
             repr(_py_hyperplane(plane_offset + p, d)) for d in range(dim)
         ) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product({dv}, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
-        )
+        prods = f"list_transform(generate_series(1, {dim}), i -> {dv}[i] * ({arr})[i])"
+        dot = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (a, x) -> a + x)"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -278,7 +278,16 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     brute_force: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ τ), LSH-bucketed by default:
+    """Embedding-cosine near-dup pairs (cos ≥ τ), LSH-bucketed by default.
+
+    .. warning:: BEHAVIOR CHANGE (round 2): the default switched from
+       exhaustive O(N²) pairs (recall 1.0) to LSH-blocked candidates
+       (recall < 1 by construction — measured ≥ 0.7 on planted dups in
+       pytest). Callers needing the exact pair set at cos ≥ τ must now pass
+       ``brute_force=True``; the default is the only shape that survives
+       100 TB.
+
+    LSH blocking:
     multi-table random-hyperplane signatures block the self-join to same-
     bucket pairs, then exact cosine verifies — candidate cost is per-bucket
     bounded, never the O(N²) crossJoin. The hyperplanes are md5-derived

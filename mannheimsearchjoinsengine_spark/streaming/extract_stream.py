@@ -62,6 +62,36 @@ def transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _validate_sink_lineage(out_dir: str, checkpoint_dir: str) -> None:
+    """A sink directory belongs to ONE checkpoint lineage: epoch-partition
+    overwrite is idempotent only for replays of the SAME checkpoint. A fresh
+    checkpoint re-batching into an existing sink would overwrite only the
+    epoch_ids it regenerates and leave stale partitions from the prior run
+    as duplicates. Refuse that instead of silently mixing lineages (local
+    filesystem marker; swap for the Hadoop FS API on a real cluster)."""
+    marker = os.path.join(out_dir, "_checkpoint_lineage")
+    ckpt_id = os.path.abspath(checkpoint_dir)
+    if os.path.isdir(out_dir):
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                prev = f.read().strip()
+            if prev != ckpt_id:
+                raise RuntimeError(
+                    f"sink {out_dir} belongs to checkpoint lineage {prev}; "
+                    f"refusing to write with checkpoint {ckpt_id} — use a fresh "
+                    "sink dir (or delete the old one) when starting a new "
+                    "checkpoint"
+                )
+        elif any(e.startswith("epoch_id=") for e in os.listdir(out_dir)):
+            raise RuntimeError(
+                f"sink {out_dir} has epoch partitions but no lineage marker; "
+                "refusing to overwrite data of unknown provenance"
+            )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(ckpt_id)
+
+
 def run_streaming_extraction(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
@@ -73,7 +103,9 @@ def run_streaming_extraction(
     epoch — so the write itself must be idempotent per epoch. Each epoch
     writes its own ``epoch_id=N`` partition with dynamic partition
     overwrite: a replayed epoch REPLACES its partition instead of appending
-    duplicate fact rows."""
+    duplicate fact rows. Idempotence holds within one checkpoint lineage
+    only — ``_validate_sink_lineage`` pins the sink to its checkpoint."""
+    _validate_sink_lineage(out_dir, checkpoint_dir)
     src = transcript_stream(spark, sf_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:

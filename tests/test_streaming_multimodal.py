@@ -25,12 +25,19 @@ def test_streaming_extraction_matches_batch(spark, sf_dir, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
     assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
-    # idempotency: replay every epoch (fresh checkpoint, same sink) — the
-    # epoch-partitioned dynamic overwrite must NOT duplicate rows
-    run_streaming_extraction(spark, sf_dir, out, str(tmp_path / "ckpt_replay"))
+    # idempotency WITHIN one lineage: re-running with the SAME checkpoint
+    # (crash-replay shape) must not duplicate rows
+    run_streaming_extraction(spark, sf_dir, out, ckpt)
     replayed = spark.read.parquet(out)
     assert replayed.count() == batch.count()
     assert replayed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    # a FRESH checkpoint into the existing sink is a different lineage —
+    # could batch into fewer epochs and leave stale partitions as dups, so
+    # the sink-lineage marker refuses it loudly
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="lineage"):
+        run_streaming_extraction(spark, sf_dir, out, str(tmp_path / "ckpt_replay"))
 
 
 def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
