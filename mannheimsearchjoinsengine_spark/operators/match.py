@@ -305,6 +305,7 @@ def greedy_marriage(
     right: str = "pred2",
     score: str = "avg_sim",
     max_rounds: int = 32,
+    driver_threshold: int = 10_000,
 ) -> DataFrame:
     """Greedy 1-1 matching by descending score — the distributed, order-free
     form of the reference's sequential decide loop
@@ -331,6 +332,27 @@ def greedy_marriage(
     """
     cols = [left, right, score]
     e = edges.select(*cols).localCheckpoint()
+    # Fast path: the edge list is predicate-schema²-bounded metadata (tens
+    # to hundreds of rows at ANY corpus scale — predicates don't grow with
+    # rows). Sequential greedy on the driver over such a list is one job +
+    # one collect instead of ~3 jobs × rounds, a pure serial-floor cut; the
+    # round-based distributed path below computes the IDENTICAL matching
+    # (locally-dominant-edge fixpoint ≡ sequential greedy under the same
+    # total order — pinned by the chain pytests, which run both paths) and
+    # remains the shape for a hypothetical super-schema edge list.
+    if driver_threshold and e.count() <= driver_threshold:
+        rows = sorted(
+            e.collect(), key=lambda r: (-r[score], r[left], r[right])
+        )
+        matched: set = set()
+        pairs = []
+        for r in rows:
+            if r[left] not in matched and r[right] not in matched:
+                matched.update((r[left], r[right]))
+                pairs.append((r[left], r[right], float(r[score])))
+        if not pairs:
+            return edges.select(*cols).limit(0)
+        return edges.sparkSession.createDataFrame(pairs, cols)
     accepted = None
     for _ in range(max_rounds):
         if e.isEmpty():

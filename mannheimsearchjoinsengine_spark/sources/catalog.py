@@ -22,9 +22,50 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 USE_ICEBERG = False  # flip on a cluster with the Iceberg runtime on the classpath
+
+
+def _footer_rows(out: str) -> list[tuple[int, str, int]]:
+    """(partition_id, file, rows) per written data file, read from parquet
+    footers on the driver — no Spark job. File-grain is the natural
+    per-partition lineage for a written table (one file per write task)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for dirpath, _, names in os.walk(out):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                files.append(os.path.join(dirpath, n))
+    files.sort()
+    return [
+        (i, os.path.relpath(f, out), pq.ParquetFile(f).metadata.num_rows)
+        for i, f in enumerate(files)
+    ]
+
+
+def _write_lineage(path: str, stage: str, part_rows: list[tuple[int, str, int]]) -> None:
+    """Write the lineage rows as a single parquet file with pyarrow (spark-
+    readable; ``StageLedger.lineage`` globs these per-stage dirs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # drop any stale-format files
+    rows = part_rows or [(0, "", 0)]
+    table = pa.table(
+        {
+            "partition_id": pa.array([int(i) for i, _, _ in rows], pa.int32()),
+            "file": pa.array([f for _, f, _ in rows], pa.string()),
+            "rows_out": pa.array([int(r) for _, _, r in rows], pa.int64()),
+            "stage": pa.array([stage] * len(rows), pa.string()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "part-00000.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(path, "part-00000.parquet"))
 
 
 class StageLedger:
@@ -68,25 +109,18 @@ class StageLedger:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
         persisted = self.spark.read.parquet(out)
-        # ONE metrics pass: per-partition row counts come back as a tiny
-        # collect (≤ #partitions rows) that serves BOTH the lineage table
-        # (written driver-side, single task) AND the total row count — the
-        # earlier separate persisted.count() was a redundant full re-scan
-        # per stage boundary (~13 extra full-table jobs per pipeline run).
-        part_rows = (
-            persisted.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .collect()
+        # ZERO-job metrics pass: per-partition row counts come straight from
+        # the written files' parquet FOOTERS (driver-side metadata reads,
+        # milliseconds) and the lineage table is written driver-side with
+        # pyarrow. The previous shape — a full re-scan groupBy for counts
+        # plus one Spark job per stage to write a handful of lineage rows —
+        # was ~2 extra jobs × ~13 stage boundaries of pure serial floor
+        # (the floor that capped N→4N scaling efficiency at small inputs).
+        part_rows = _footer_rows(out)
+        _write_lineage(
+            os.path.join(self.root, f"_lineage/{stage}"), stage, part_rows
         )
-        lineage = self.spark.createDataFrame(
-            [(int(r.partition_id), int(r.rows_out), stage) for r in part_rows]
-            or [(0, 0, stage)],
-            "partition_id int, rows_out bigint, stage string",
-        )
-        lineage.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.root, f"_lineage/{stage}")
-        )
-        rows = sum(int(r.rows_out) for r in part_rows)
+        rows = sum(r for _, _, r in part_rows)
         self.entries[stage] = {
             "fingerprint": fingerprint,
             "path": out,

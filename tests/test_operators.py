@@ -670,14 +670,19 @@ def test_greedy_marriage_chains(spark):
         [(nodes[i], nodes[i + 1], 1.0) for i in range(40)],
         ["pred1", "pred2", "avg_sim"],
     )
-    got = {(r.pred1, r.pred2) for r in greedy_marriage(eq).collect()}
     want = {(nodes[i], nodes[i + 1]) for i in range(0, 40, 2)}
-    assert got == want
-    # (b) descending scores 40, 39, ...: sequential greedy accepts the same
-    # odd edges but needs ~20 rounds — must NOT exhaust max_rounds
     desc = spark.createDataFrame(
         [(nodes[i], nodes[i + 1], float(40 - i)) for i in range(40)],
         ["pred1", "pred2", "avg_sim"],
     )
-    got2 = {(r.pred1, r.pred2) for r in greedy_marriage(desc).collect()}
-    assert got2 == want
+    # driver fast path (default) and the distributed locally-dominant-edge
+    # fixpoint (driver_threshold=0) must produce the IDENTICAL matching —
+    # the fixpoint ≡ sequential greedy under the same strict total order
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {(r.pred1, r.pred2) for r in greedy_marriage(eq, **kw).collect()}
+        assert got == want, kw
+        # (b) descending scores: sequential greedy accepts the same odd
+        # edges but the distributed form needs ~20 rounds — must NOT
+        # exhaust max_rounds
+        got2 = {(r.pred1, r.pred2) for r in greedy_marriage(desc, **kw).collect()}
+        assert got2 == want, kw
