@@ -72,18 +72,41 @@ def payload_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fully vectorized inside the Arrow batch: one concatenated byte
+        # buffer + numpy reduceat for per-doc sums — no per-element Python
+        # (sum(b) per payload was the old per-row hot spot)
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
-            n = payloads.str.len().astype("int32")
+            n = payloads.str.len().fillna(0).astype("int64").to_numpy()
+            blob = (
+                np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
+                if len(payloads)
+                else np.zeros(0, np.uint8)
+            )
+            offs = np.zeros(len(n), dtype=np.int64)
+            if len(n) > 1:
+                np.cumsum(n[:-1], out=offs[1:])
+            nz = n > 0
+            first = np.zeros(len(n), np.int32)
+            last = np.zeros(len(n), np.int32)
+            sums = np.zeros(len(n), np.int64)
+            if blob.size:
+                first[nz] = blob[offs[nz]]
+                last[nz] = blob[offs[nz] + n[nz] - 1]
+                # reduceat over nonzero starts: empty docs span zero bytes,
+                # so each segment holds exactly one doc's bytes
+                sums[nz] = np.add.reduceat(blob.astype(np.int64), offs[nz])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bytes": n,
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else 0).astype("int32"),
-                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else 0).astype("int32"),
-                    "byte_sum": payloads.map(lambda b: sum(b)).astype("int64"),
-                    "fake_width": (n % 640).astype("int32"),
-                    "fake_height": ((n * 7) % 480).astype("int32"),
+                    "n_bytes": pd.Series(n.astype("int32")),
+                    "first_byte": pd.Series(first),
+                    "last_byte": pd.Series(last),
+                    "byte_sum": pd.Series(sums),
+                    "fake_width": pd.Series((n % 640).astype("int32")),
+                    "fake_height": pd.Series(((n * 7) % 480).astype("int32")),
                 }
             )
 
@@ -99,20 +122,48 @@ def frame_sample(docs: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> D
     schema = f"{id_col} long, frame_idx int, frame_len int, frame_sum long"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized frame enumeration: per-doc sampled-frame counts →
+        # repeat/arange index algebra → one interleaved reduceat for all
+        # frame sums (no per-frame Python loop)
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, lens, sums = [], [], [], []
-            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
-                for fi in range(0, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES, every_n):
-                    chunk = b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
-                    ids.append(doc_id)
-                    idxs.append(fi)
-                    lens.append(len(chunk))
-                    sums.append(sum(chunk))
+            payloads = pdf["payload"]
+            n = payloads.str.len().fillna(0).astype("int64").to_numpy()
+            blob = (
+                np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
+                if len(payloads)
+                else np.zeros(0, np.uint8)
+            )
+            offs = np.zeros(len(n), dtype=np.int64)
+            if len(n) > 1:
+                np.cumsum(n[:-1], out=offs[1:])
+            n_frames = -(-n // FRAME_BYTES)  # ceil
+            n_sampled = -(-n_frames // every_n)
+            doc_pos = np.repeat(np.arange(len(n)), n_sampled)
+            total = int(n_sampled.sum())
+            # rank within each doc's sampled frames: 0,1,2,... per group
+            grp_start = np.zeros(len(n), dtype=np.int64)
+            if len(n) > 1:
+                np.cumsum(n_sampled[:-1], out=grp_start[1:])
+            rank = np.arange(total, dtype=np.int64) - grp_start[doc_pos]
+            frame_idx = rank * every_n
+            starts = offs[doc_pos] + frame_idx * FRAME_BYTES
+            lens = np.minimum(FRAME_BYTES, n[doc_pos] - frame_idx * FRAME_BYTES)
+            sums = np.zeros(total, dtype=np.int64)
+            if total and blob.size:
+                # interleaved [start, end) pairs; pad blob so an end ==
+                # len(blob) stays a valid reduceat index
+                padded = np.concatenate([blob.astype(np.int64), [0]])
+                bounds = np.empty(2 * total, dtype=np.int64)
+                bounds[0::2] = starts
+                bounds[1::2] = starts + lens
+                sums = np.add.reduceat(padded, bounds)[0::2]
             yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"),
-                 "frame_idx": pd.Series(idxs, dtype="int32"),
-                 "frame_len": pd.Series(lens, dtype="int32"),
-                 "frame_sum": pd.Series(sums, dtype="int64")}
+                {id_col: pdf[id_col].to_numpy()[doc_pos],
+                 "frame_idx": pd.Series(frame_idx.astype("int32")),
+                 "frame_len": pd.Series(lens.astype("int32")),
+                 "frame_sum": pd.Series(sums)}
             )
 
     return docs.select(F.col(id_col).cast("long").alias(id_col), "payload").mapInPandas(
