@@ -1401,17 +1401,23 @@ hot AS (
   WHERE df_docs > floor(0.5 * n_docs) + 1
 ),
 blocked AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-cand AS (
-  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
-  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc < b.doc
-),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
-shared AS (
-  SELECT c.doc1, c.doc2, count(*) AS shared
-  FROM cand c
-  JOIN sh a ON a.doc = c.doc1
-  JOIN sh b ON b.doc = c.doc2 AND b.shingle = a.shingle
+shared_blocked AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS sb
+  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY 1, 2
+),
+hsets AS (SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM hot)),
+shared_hot AS (
+  SELECT c.doc1, c.doc2, count(*) AS hb
+  FROM shared_blocked c
+  JOIN hsets a ON a.doc = c.doc1
+  JOIN hsets b ON b.doc = c.doc2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+shared AS (
+  SELECT doc1, doc2, sb + coalesce(hb, 0) AS shared
+  FROM shared_blocked LEFT JOIN shared_hot USING (doc1, doc2)
 ),
 jac AS (
   SELECT doc1, doc2, shared,

@@ -75,13 +75,15 @@ def ngram_jaccard_pairs(
     document frequency is ≤ ``floor(df_cap · n_docs) + 1`` (same formula as
     ``index.build_postings``) — a boilerplate shingle shared by k docs would
     otherwise emit k² candidate rows. The hot-shingle list is tiny, so it is
-    broadcast into a left-anti join (NOT the huge keep-list). Verification
-    then computes EXACT jaccard over the FULL shingle sets for candidates
-    only, so the cap affects recall (pairs sharing nothing but hot shingles
-    are missed — by design, those are boilerplate) but never scores.
+    broadcast into a left-anti join (NOT the huge keep-list). Shared counts
+    come from the SAME blocking join (no second full-sets pass); the hot
+    shingles' contribution is added back per candidate pair from the tiny
+    (doc, hot-shingle) table, so scores stay EXACT jaccard over the full
+    sets while the cap affects recall only (pairs sharing nothing but hot
+    shingles are missed — by design, those are boilerplate).
     ``df_cap=None`` restores the exhaustive join (tests/recall oracle)."""
     sets = _token_sets(docs, text_col, id_col, n).localCheckpoint()
-    blocked = sets
+    blocked, hot = sets, None
     if df_cap is not None:
         # broadcast-scalar denominator (no driver .count()), same pattern as
         # index.build_postings:48-62
@@ -94,24 +96,36 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         blocked = sets.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sets.groupBy("doc").agg(F.count("*").alias("n_sh"))
     ca = blocked.select(F.col("doc").alias("doc1"), "shingle")
     cb = blocked.select(F.col("doc").alias("doc2"), "shingle")
-    cand = (
+    shared = (
         ca.join(cb, "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    # verify on full sets: exact jaccard for candidate pairs only
-    sizes = sets.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sets.select(F.col("doc").alias("doc1"), "shingle")
-    b = sets.select(F.col("doc").alias("doc2"), "shingle")
-    shared = (
-        cand.join(a, "doc1")
-        .join(b, ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("shared"))
     )
+    if hot is not None:
+        # add the hot shingles shared by each CANDIDATE pair (exact scores
+        # without re-joining the full sets): hot_sets is (few hot shingles ×
+        # their docs) — broadcast-scale by construction of the cap
+        hot_sets = sets.join(F.broadcast(hot), "shingle")
+        h1 = hot_sets.select(F.col("doc").alias("doc1"), "shingle")
+        h2 = hot_sets.select(F.col("doc").alias("doc2"), "shingle")
+        shared_hot = (
+            shared.select("doc1", "doc2")
+            .join(h1, "doc1")
+            .join(h2, ["doc2", "shingle"])
+            .groupBy("doc1", "doc2")
+            .agg(F.count("*").alias("shared_hot"))
+        )
+        shared = (
+            shared.join(shared_hot, ["doc1", "doc2"], "left")
+            .withColumn(
+                "shared", F.col("shared") + F.coalesce(F.col("shared_hot"), F.lit(0))
+            )
+            .drop("shared_hot")
+        )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
     jac = (
