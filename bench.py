@@ -45,9 +45,17 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
+        # one untimed warm-up (codegen JIT + shuffle-file cache), then
+        # min-of-2 timed runs — the sandbox host's transient noise otherwise
+        # dominates single-shot per-operator numbers
+        fn()
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
     # warm the JVM + generate transcripts outside the timed region
