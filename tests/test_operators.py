@@ -686,3 +686,50 @@ def test_greedy_marriage_chains(spark):
         # exhaust max_rounds
         got2 = {(r.pred1, r.pred2) for r in greedy_marriage(desc, **kw).collect()}
         assert got2 == want, kw
+
+
+def test_wordnet_label_scores(spark):
+    """F7 plug-in (reference ships it disabled, searchJoins.conf:67-69):
+    matchStrings cascade over a provided lexicon DataFrame. Pins the
+    reference's dead-code quirk — equal in-dictionary labels score
+    synsetMatch (2.0), equal out-of-dictionary labels 2.2, never the
+    nominal WORDNET_EXACT_MATCH_SCORE=5."""
+    from mannheimsearchjoinsengine_spark.operators.wordnet import wordnet_label_scores
+
+    lex = spark.createDataFrame(
+        [
+            ("population", "s:population.n.01", 1),
+            ("inhabitants", "s:population.n.01", 1),
+            ("population", "h:group.n.01", 2),
+            ("capital", "s:capital.n.01", 1),
+            ("capital", "h:city.n.01", 2),
+            ("city", "s:city.n.01", 1),
+            ("city", "h:city.n.01", 2),  # shared hyper tier with capital
+        ],
+        ["word", "related", "tier"],
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("population", "inhabitants"),  # synonym tier → price 2
+            ("population", "population"),   # equal + in dict → 2.0 (dead 5)
+            ("motto", "motto"),             # equal, not in dict → 2.2
+            ("capital", "city"),            # hypernym tier → price 2
+            ("hq", "headquarters"),         # <3 chars → 0
+            ("motto", "slogan"),            # nothing → price 1
+        ],
+        ["label1", "label2"],
+    )
+    rows = {
+        (r.label1, r.label2): (r.price, r.wn_score)
+        for r in wordnet_label_scores(pairs, lex).collect()
+    }
+    assert rows[("population", "inhabitants")][0] == 2.0
+    assert rows[("population", "population")] == (2.0, 2.0)   # jaccard 1 × 2
+    assert rows[("motto", "motto")] == (2.2, 2.2)             # jaccard 1 × 2.2
+    assert rows[("capital", "city")][0] == 2.0
+    assert rows[("hq", "headquarters")] == (0.0, 0.0)
+    assert rows[("motto", "slogan")][0] == 1.0
+    # the reference multiplies price by char-2-4-gram jaccard (:182-185),
+    # so a synonym pair with NO shared character grams still scores 0 —
+    # quirk replicated, price carries the synset evidence separately
+    assert rows[("population", "inhabitants")][1] == 0.0
