@@ -48,18 +48,33 @@ ROW_DENSITY = 0.3  # searchJoins.conf:74 data.rowDensity
 AUGMENT_PREDS = ["population", "area", "founded", "headquarters", "employees"]
 
 
-def fuse_long(mentions: DataFrame, facts: DataFrame) -> DataFrame:
+def fuse_long(
+    mentions: DataFrame,
+    facts: DataFrame,
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
     """J6 — materialize every fact cell of every matched query key.
 
-    The query-key set (distinct mention labels) is tiny relative to the fact
-    corpus → broadcast; the fuse is then a broadcast hash join with no
-    shuffle of the fact table. Column identity keeps full provenance
-    ``(pred_raw, conv_id, turn_idx)`` — the reference's
+    The query-key set (distinct mention labels) is usually tiny relative to
+    the fact corpus → broadcast hash join, no shuffle of the fact table —
+    but only while the key set fits the session broadcast threshold: call
+    sites gate on a measured label count (``plans/adaptive.fits_broadcast``)
+    and pass ``salted=True`` when it doesn't, scattering hot fact labels
+    over ``n_salts`` sub-keys (identical output, pinned by
+    ``tests/test_pipeline_salted.py``). Column identity keeps full
+    provenance ``(pred_raw, conv_id, turn_idx)`` — the reference's
     ``colHeader|tablePath|colIdx`` key (``DataFuser.addValuesToColumn:
     489-556``).
     """
     keys = mentions.select("subj_norm").distinct()
-    return facts.join(F.broadcast(keys), "subj_norm").select(
+    if salted:
+        from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
+
+        joined = salted_equi_join(facts, keys, ["subj_norm"], n_salts)
+    else:
+        joined = facts.join(F.broadcast(keys), "subj_norm")
+    return joined.select(
         F.col("subj_norm").alias("query_norm"),
         "pred_raw",
         "obj_raw",
@@ -134,6 +149,10 @@ def row_density(fused: DataFrame, threshold: float = ROW_DENSITY) -> DataFrame:
     predicates; subjects below ``threshold`` are dropped
     (``TableDataCleaner.java:260-333``)."""
     kept = column_density(fused).filter(F.col("kept")).select("pred_raw")
+    # broadcast-audit note: unlike index.py's old keep-list (O(vocabulary)),
+    # THIS keep set is bounded at any scale — per-pred coverages sum to the
+    # mean preds-per-subject p̄, so at most p̄/threshold predicates can have
+    # coverage ≥ threshold (~10 rows at threshold 0.3). Broadcast is safe.
     # kept-predicate count as a broadcast scalar (same no-.count() pattern)
     n_kept = kept.agg(F.count("*").alias("n_kept"))
     dens = F.round(F.col("n_preds") / F.col("n_kept"), 4)

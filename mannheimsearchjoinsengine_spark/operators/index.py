@@ -50,16 +50,22 @@ def build_postings(facts: DataFrame, df_cap: float = 0.5) -> DataFrame:
         # broadcast into the filter, NOT a driver-side .count() — a scalar
         # count action is an extra blocking job that re-runs the upstream
         # subtree; the broadcast-scalar crossJoin stays one lazy plan.
+        #
+        # Broadcast the HOT side, not the keep side: tokens above the df cap
+        # are bounded by ~1/df_cap rows (each hot token covers > df_cap of
+        # all labels, and coverages sum to tokens-per-label × n_labels), so
+        # the broadcast stays a handful of rows at ANY vocabulary size. The
+        # keep list is O(distinct tokens) ≈ O(vocabulary) — broadcasting it
+        # would OOM at web scale. Same pattern as dedup.ngram_jaccard_pairs.
         n_labels = labels.agg(F.countDistinct("subj_norm").alias("n_labels"))
-        tok_df = postings.groupBy("token").agg(
-            F.countDistinct("subj_norm").alias("df_labels")
-        )
-        keep = (
-            tok_df.crossJoin(F.broadcast(n_labels))
-            .filter(F.col("df_labels") <= F.floor(F.lit(df_cap) * F.col("n_labels")) + 1)
+        hot = (
+            postings.groupBy("token")
+            .agg(F.countDistinct("subj_norm").alias("df_labels"))
+            .crossJoin(F.broadcast(n_labels))
+            .filter(F.col("df_labels") > F.floor(F.lit(df_cap) * F.col("n_labels")) + 1)
             .select("token")
         )
-        postings = postings.join(F.broadcast(keep), "token")
+        postings = postings.join(F.broadcast(hot), "token", "left_anti")
     return postings
 
 

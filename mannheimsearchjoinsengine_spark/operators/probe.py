@@ -88,7 +88,13 @@ def probe(
     )
 
 
-def join_results(mentions: DataFrame, facts: DataFrame, top_n: int = 100) -> DataFrame:
+def join_results(
+    mentions: DataFrame,
+    facts: DataFrame,
+    top_n: int = 100,
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
     """J5 — JoinResult aggregation per (query label, candidate conversation):
     matched-key count, summed multiplicities, joinSize = Σ multL·multR
     (``SearchJoin.java:762-852``; ``model/JoinResult.java:30-70``), ranked
@@ -97,13 +103,22 @@ def join_results(mentions: DataFrame, facts: DataFrame, top_n: int = 100) -> Dat
     Left side = mention labels with their multiplicity; right side = fact
     labels per conversation. Exact-label equi-join on subj_norm (the
     reference's post-normalization equality; fuzzy variant in fuzzy.py).
-    The left aggregate is small (distinct labels) → broadcast.
+    The left aggregate (distinct labels) is broadcast only while it fits —
+    call sites gate on a measured label count vs the session threshold
+    (``plans/adaptive.fits_broadcast``); ``salted=True`` is the web-scale
+    fallback: hot fact labels scatter over ``n_salts`` sub-keys, identical
+    output (pinned by ``tests/test_pipeline_salted.py``).
     """
     left = mentions.groupBy("subj_norm").agg(F.count("*").alias("mult_l"))
     right = facts.groupBy("subj_norm", "conv_id").agg(F.count("*").alias("mult_r"))
+    if salted:
+        from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
+
+        joined = salted_equi_join(right, left, ["subj_norm"], n_salts)
+    else:
+        joined = F.broadcast(left).join(right, "subj_norm")
     jr = (
-        F.broadcast(left)
-        .join(right, "subj_norm")
+        joined
         .groupBy("conv_id")
         .agg(
             F.count("*").alias("matched_keys"),

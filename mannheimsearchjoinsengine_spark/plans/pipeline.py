@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mannheimsearchjoinsengine_spark.operators.canonical import exact_clusters
+from mannheimsearchjoinsengine_spark.plans.adaptive import fits_broadcast
 from mannheimsearchjoinsengine_spark.operators.extract import extract_facts, extract_mentions
 from mannheimsearchjoinsengine_spark.operators.index import build_attributes, build_postings
 from mannheimsearchjoinsengine_spark.operators.match import pred_merge_map
@@ -33,11 +34,22 @@ def run_pipeline(
     sf_dir: str,
     checkpoint_root: str | None = None,
     fuzzy_canonical: bool = False,
+    broadcast_mode: str = "auto",
 ) -> dict[str, DataFrame]:
     """Run all stages; returns every intermediate plus the triple table.
 
     With ``checkpoint_root`` set, each stage materializes through the ledger
     (kill + re-run resumes from the last completed stage).
+
+    ``broadcast_mode`` gates every small-side broadcast hint in the plan:
+    ``"auto"`` (default) broadcasts only when the side's *measured* row
+    count fits ``spark.sql.autoBroadcastJoinThreshold``
+    (plans/adaptive.fits_broadcast — counts come free from the stage
+    ledger's parquet footers, or one cached-scan count on the
+    localCheckpoint path); ``"force"`` keeps every hint (the pre-gating
+    behavior); ``"never"`` takes the salted/shuffle fallbacks everywhere —
+    the web-scale branch, equivalence-pinned against ``"force"`` by
+    ``tests/test_pipeline_salted.py`` (byte-identical triples).
 
     ``fuzzy_canonical=True`` clusters surface forms through the fuzzy tier —
     MinHash-LSH candidate blocking → exact token-Jaccard verify → connected
@@ -65,6 +77,21 @@ def run_pipeline(
             return build().localCheckpoint()
         return ledger.materialize(name, fingerprint, build, partition_by)
 
+    def stage_rows(name: str, df: DataFrame) -> int:
+        # measured size of a materialized stage, for broadcast gating: free
+        # from the ledger (summed parquet footers), else one count over the
+        # localCheckpoint's cached blocks (no-ledger runs are test-scale).
+        if ledger is not None and name in ledger.entries:
+            return int(ledger.entries[name]["rows"])
+        return df.count()
+
+    def small(name: str, df: DataFrame) -> bool:
+        if broadcast_mode == "force":
+            return True
+        if broadcast_mode == "never":
+            return False
+        return fits_broadcast(spark, stage_rows(name, df))
+
     # facts and cells are the same rows (cells = facts + dtype column):
     # materialize ONCE as cells, expose facts as a zero-cost projection —
     # two separate stage materializations of 90% identical data were the
@@ -74,9 +101,23 @@ def run_pipeline(
     mentions = stage("mentions", lambda: extract_mentions(transcripts))
     postings = stage("postings", lambda: build_postings(facts))
     attributes = stage("attributes", lambda: build_attributes(cells))
-    jr = stage("join_results", lambda: join_results(mentions, facts))
+    # gate: distinct mention labels ≤ mention rows, so the measured mention
+    # count is a safe upper bound for join_results' broadcast side
+    jr = stage(
+        "join_results",
+        lambda: join_results(mentions, facts, salted=not small("mentions", mentions)),
+    )
     merge_map = stage("pred_merge_map", lambda: pred_merge_map(cells))
-    cells_canon = cells.join(F.broadcast(merge_map), "pred_raw")
+    # merge_map is one row per distinct raw predicate — schema-bounded in
+    # the reference's world, but open extraction can grow it, so it gets the
+    # same measured gate; the fallback salts pred_raw (hot predicates are
+    # guaranteed at any scale).
+    if small("pred_merge_map", merge_map):
+        cells_canon = cells.join(F.broadcast(merge_map), "pred_raw")
+    else:
+        from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
+
+        cells_canon = salted_equi_join(cells, merge_map, ["pred_raw"])
     resolved = stage(
         "resolved", lambda: resolve_dispatch(cells_canon, ("subj_norm", "pred_canon"))
     )
