@@ -16,6 +16,9 @@ impossible at the rounding grain.
 
 from __future__ import annotations
 
+import os
+import re
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -790,34 +793,57 @@ JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
     _register_tpch_queries(q)
 
     # The driver only records CORRECTNESS rows for the first 50 registrations.
-    # Rotate stable, pytest-covered kg rows (tests/test_queries_vs_duckdb.py
-    # runs ALL entries) past the window so every query not yet driver-checked
-    # in r01/r02 (emb_ivf_topk, mm_*, tpch_*, events_*) gets a driver row.
+    # Rotate stable, pytest-covered rows (tests/test_queries_vs_duckdb.py runs
+    # ALL entries every run) past the window, FRESHEST driver evidence first,
+    # so no row's last driver check ages more than ~2 rounds.
     def _reorder(d: dict) -> dict:
-        head = {k: v for k, v in d.items() if k not in DEFERRED_QUERIES}
-        tail = {k: d[k] for k in DEFERRED_QUERIES if k in d}
+        deferred = deferred_queries(tuple(d))
+        head = {k: v for k, v in d.items() if k not in deferred}
+        tail = {k: d[k] for k in deferred if k in d}
         return {**head, **tail}
 
     return _reorder(queries), _reorder(oracles)
 
 
-# Stable rows deferred past the driver's 50-query CORRECTNESS window (all were
-# green rows+schema+hash in CORRECTNESS_r01/r02 and remain covered by the full
-# pytest oracle suite). Keep len(queries) - len(DEFERRED_QUERIES) <= 50.
-DEFERRED_QUERIES = (
-    "kg_fuse_long",
-    "kg_fuse_augmented",
-    "kg_col_density",
-    "kg_row_density",
-    "kg_label_pairs",
-    "kg_numeric_clean",
-    "kg_attr_semijoin",
-    "kg_refine_attrs",
-    "kg_key_distribution",
-    "kg_value_sim",
-    "kg_char_jaccard",
-    "kg_value_multiplicity",
-)
+CORRECTNESS_WINDOW = 50  # rows the external driver records per round
+
+
+def last_driver_check(root: str | None = None) -> dict[str, int]:
+    """query -> latest round with a green recorded driver row, read from the
+    committed CORRECTNESS_r{N}.json artifacts (the authoritative ledger of
+    what the driver actually checked — replaces the hand-maintained table)."""
+    import glob
+    import json
+
+    root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def deferred_queries(all_names: tuple[str, ...]) -> tuple[str, ...]:
+    """The len(all) - CORRECTNESS_WINDOW rows to rotate past the driver's
+    recording window this round: the ones whose last green driver check is
+    most recent (never-checked rows sort first INTO the window). Ties break
+    by name for determinism. Self-correcting round-robin: a row deferred
+    this round keeps its old last-check round, so next round it outranks the
+    rows the driver just checked and rotates back in."""
+    last = last_driver_check()
+    n_defer = max(0, len(all_names) - CORRECTNESS_WINDOW)
+    ranked = sorted(all_names, key=lambda n: (-last.get(n, -1), n))
+    return tuple(ranked[:n_defer])
 
 
 # --------------------------------------------------------------------------
