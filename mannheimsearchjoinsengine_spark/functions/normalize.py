@@ -171,8 +171,11 @@ def duck_norm_key(expr: str) -> str:
     c = f"regexp_replace({c}, '[^a-z0-9]+', ' ', 'g')"
     toks = f"list_filter(string_split(trim({c}), ' '), x -> x <> '')"
     # coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join([])
-    # is '' (hypothesis-found edge; empty surfaces are filtered upstream)
-    return f"coalesce(array_to_string(list_sort({toks}), ' '), '')"
+    # is '' (hypothesis-found edge; empty surfaces are filtered upstream).
+    # The outer CASE keeps NULL input NULL (Spark propagates it) instead of
+    # letting the coalesce collapse it to ''.
+    joined = f"coalesce(array_to_string(list_sort({toks}), ' '), '')"
+    return f"(CASE WHEN {expr} IS NULL THEN NULL ELSE {joined} END)"
 
 
 def duck_norm_tokens(expr: str) -> str:
@@ -207,7 +210,13 @@ def duck_clear_string(expr: str) -> str:
         f"THEN list_append({toks}, '$') ELSE {toks} END)"
     )
     joined = f"coalesce(array_to_string({toks}, ' '), '')"
-    return f"(CASE WHEN {joined} = '' THEN 'null' ELSE {joined} END)"
+    # NULL input stays NULL (Spark's regexp_replace chain propagates it);
+    # without the guard the coalesce collapses NULL to '' and the empty→
+    # 'null' case fires, diverging from the Spark side.
+    return (
+        f"(CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN {joined} = '' THEN 'null' ELSE {joined} END)"
+    )
 
 
 def duck_simple_norm(expr: str) -> str:

@@ -306,6 +306,7 @@ def greedy_marriage(
     score: str = "avg_sim",
     max_rounds: int = 32,
     driver_threshold: int = 10_000,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Greedy 1-1 matching by descending score — the distributed, order-free
     form of the reference's sequential decide loop
@@ -340,7 +341,12 @@ def greedy_marriage(
     # (locally-dominant-edge fixpoint ≡ sequential greedy under the same
     # total order — pinned by the chain pytests, which run both paths) and
     # remains the shape for a hypothetical super-schema edge list.
-    if driver_threshold and e.count() <= driver_threshold:
+    # size_hint lets a caller that already knows the edge count (e.g. from a
+    # ledger row or an upstream agg) skip the extra count() job
+    n_edges = size_hint if size_hint is not None else (
+        e.count() if driver_threshold else None
+    )
+    if driver_threshold and n_edges is not None and n_edges <= driver_threshold:
         rows = sorted(
             e.collect(), key=lambda r: (-r[score], r[left], r[right])
         )
@@ -349,10 +355,11 @@ def greedy_marriage(
         for r in rows:
             if r[left] not in matched and r[right] not in matched:
                 matched.update((r[left], r[right]))
-                pairs.append((r[left], r[right], float(r[score])))
-        if not pairs:
-            return edges.select(*cols).limit(0)
-        return edges.sparkSession.createDataFrame(pairs, cols)
+                pairs.append((r[left], r[right], r[score]))
+        # explicit schema: Row values round-trip through Python, and an
+        # inferred schema could re-type score/pred columns, making the two
+        # paths non-interchangeable for downstream unions (ADVICE r03)
+        return edges.sparkSession.createDataFrame(pairs, schema=e.schema)
     accepted = None
     for _ in range(max_rounds):
         if e.isEmpty():

@@ -10,9 +10,10 @@ broadcast and the score is three semi-join flags plus a codegen jaccard.
 
 Lexicon schema: ``(word string, related string, tier int)`` — tier 1 for
 synset members (a word's synset includes its own lemma), tier 2 for
-hypernyms/hyponyms. ``WordnetAPI.getSynonyms/getHypernyms/getHyponyms``
-each take the FIRST noun sense only (``WordnetAPI.java:50-56``) — encode
-that choice when building the lexicon table.
+hypernyms, tier 3 for hyponyms. ``WordnetAPI.getSynonyms/getHypernyms/
+getHyponyms`` each take the FIRST noun sense only (``WordnetAPI.java:
+50-56``) — :mod:`wordnet_build` builds this table from a public WNDB
+``index.noun``/``data.noun`` pair with exactly that rule.
 
 Replicated semantics of ``matchStrings`` (price = last assignment wins):
 
@@ -28,10 +29,17 @@ Replicated semantics of ``matchStrings`` (price = last assignment wins):
   (``matchTwoLists`` uses SecondString Levenshtein score ≥ 0, i.e. EXACT
   string equality, :323-331 — intersection, not fuzzy match).
 * intersection after extending both lists with hypernyms+hyponyms → 2.
-* n-gram fallback when a side's extended list is empty: relations of the
-  label's word 1-2-grams, where a bigram with any relations REPLACES the
-  unigram accumulations (``populateNgramList:297-315`` clears the list
-  when a longer ngram has synonyms) → intersection → 2.
+* n-gram fallback PER SIDE when that side's extended list is empty (the
+  label is out of dictionary, :158-161): the side's relation list becomes
+  the relations of its word 1-2-grams — only grams whose synonym list is
+  non-empty contribute (``populateNgramList:297-315`` skips a gram with no
+  synonyms), each contributing its synonyms + hypernyms ONLY (the hyponym
+  call at :305 is commented out in the reference), and a bigram with any
+  synonyms REPLACES the unigram accumulations (:300-303 clears the list).
+  A mixed pair therefore intersects the in-dict side's EXTENDED list with
+  the out-of-dict side's ngram list — modeled exactly: each side owns one
+  relation list (extended if in dict, else ngram) and the price-2 branch
+  fires on any cross-side intersection.
 * final score = char-2-4-gram jaccard of the normalized labels × price
   (:182-185; the same combined-gram kernel as F1, functions/similarity).
 """
@@ -46,29 +54,6 @@ from mannheimsearchjoinsengine_spark.functions.similarity import string_sim_24
 
 WORDNET_SYNSET_MATCH_SCORE = 2.0  # LabelBasedComparer.java:34
 WORDNET_EQUAL_PRICE = 2.2  # :131-132 (synsetMatch + 0.2)
-
-
-def _overlap_flag(pairs: DataFrame, lex_l: DataFrame, lex_r: DataFrame, name: str) -> DataFrame:
-    """(pair_id, <name>=true) for pairs whose lexicon relation sets
-    intersect — two broadcast joins + a distinct on the tiny flag set."""
-    hit = (
-        pairs.join(F.broadcast(lex_l), pairs["nl"] == lex_l["word"])
-        .select("pair_id", "nr", "related")
-        .join(
-            F.broadcast(lex_r.withColumnRenamed("related", "related_r")),
-            on=[F.col("nr") == F.col("word"), F.col("related") == F.col("related_r")],
-        )
-        .select("pair_id")
-        .distinct()
-        .withColumn(name, F.lit(True))
-    )
-    return hit
-
-
-def _ngram_lexicon(lex: DataFrame) -> DataFrame:
-    """Relations keyed by each 1-2-word ngram of a label are just the plain
-    lexicon rows — the ngram expansion happens on the LABEL side."""
-    return lex
 
 
 def wordnet_label_scores(
@@ -94,14 +79,19 @@ def wordnet_label_scores(
         .withColumn("nr", clear_string(F.col("label2")))
         .localCheckpoint()
     )
-    syn = lexicon.filter(F.col("tier") == 1).select("word", "related")
-    ext = lexicon.select("word", "related")  # tier 1+2
+    ext = lexicon.select("word", "related")  # tier 1+2+3 (full extension)
+    # ngram-eligible lexicon rows: the gram must itself have a non-empty
+    # synonym list (populateNgramList:297-299 skips it otherwise) and only
+    # its synonyms + hypernyms are accumulated (hyponym call :305 is
+    # commented out in the reference) — tiers 1-2, left-semi'd on tier 1
+    ng_lex = (
+        lexicon.filter(F.col("tier") <= 2)
+        .join(lexicon.filter(F.col("tier") == 1).select("word"), "word", "left_semi")
+        .select("word", "related")
+    )
 
-    syn_hit = _overlap_flag(p, syn, syn, "syn_hit")
-    ext_hit = _overlap_flag(p, ext, ext, "ext_hit")
-
-    # n-gram fallback lists: label-side 1-2-word ngrams looked up in the
-    # lexicon; bigram relations replace unigram ones when any bigram hits
+    # 1-2-word ngrams of a normalized label; bigrams first so the
+    # replace-unigrams rule can key off them
     toks = F.split(F.col("n"), " ")
     grams1 = toks
     grams2 = F.when(
@@ -112,19 +102,22 @@ def wordnet_label_scores(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    def side_ngram_rel(side_col: str, alias: str) -> DataFrame:
+    def side_rel(side_col: str) -> DataFrame:
+        """One relation list per pair side, matchStrings:140-161 shape: the
+        EXTENDED list (syn+hyper+hypo of the whole label) when the label is
+        in dictionary, else the ngram fallback list — so a mixed pair
+        intersects extended-vs-ngram exactly as the reference does."""
         side = p.select("pair_id", F.col(side_col).alias("n"))
-        g = side.select(
-            "pair_id",
-            F.explode(F.concat(grams2, grams1)).alias("gram"),
-            (F.size(F.split(F.col("n"), " ")) >= 2).alias("has_bi"),
+        in_dict = (
+            side.join(F.broadcast(ext), side["n"] == ext["word"])
+            .select("pair_id", "related")
         )
-        rel = g.join(F.broadcast(ext), g["gram"] == ext["word"]).select(
+        ood = side.join(in_dict.select("pair_id"), "pair_id", "left_anti")
+        g = ood.select("pair_id", F.explode(F.concat(grams2, grams1)).alias("gram"))
+        rel = g.join(F.broadcast(ng_lex), g["gram"] == ng_lex["word"]).select(
             "pair_id",
             "related",
-            (F.length(F.col("gram")) - F.length(F.regexp_replace("gram", " ", "")) > 0).alias(
-                "is_bi"
-            ),
+            F.col("gram").contains(" ").alias("is_bi"),
         )
         # bigram relations win when present (populateNgramList clears on a
         # longer ngram with synonyms)
@@ -132,50 +125,29 @@ def wordnet_label_scores(
         kept = (
             rel.join(any_bi, "pair_id", "left")
             .filter(F.col("is_bi") | F.col("bi").isNull())
-            .select("pair_id", F.col("related").alias(alias))
+            .select("pair_id", "related")
         )
-        return kept
+        return in_dict.union(kept)
 
-    ngl = side_ngram_rel("nl", "rel_l")
-    ngr = side_ngram_rel("nr", "rel_r")
-    ng_hit = (
-        ngl.join(ngr, "pair_id")
-        .filter(F.col("rel_l") == F.col("rel_r"))
+    rel_hit = (
+        side_rel("nl")
+        .join(
+            side_rel("nr").withColumnRenamed("related", "related_r"),
+            "pair_id",
+        )
+        .filter(F.col("related") == F.col("related_r"))
         .select("pair_id")
         .distinct()
-        .withColumn("ng_hit", F.lit(True))
-    )
-    # the ngram tier only applies to a side whose own extended list is
-    # empty (:158-161) — a side WITH relations keeps its real list, so the
-    # ngram flag can only add a match when ext_hit missed; over-approx
-    # gated below by ext-list emptiness per side
-    has_rel_l = (
-        p.join(F.broadcast(ext), p["nl"] == ext["word"]).select("pair_id").distinct()
-        .withColumn("l_in_dict", F.lit(True))
-    )
-    has_rel_r = (
-        p.join(F.broadcast(ext), p["nr"] == ext["word"]).select("pair_id").distinct()
-        .withColumn("r_in_dict", F.lit(True))
+        .withColumn("rel_hit", F.lit(True))
     )
 
-    out = (
-        p.join(syn_hit, "pair_id", "left")
-        .join(ext_hit, "pair_id", "left")
-        .join(ng_hit, "pair_id", "left")
-        .join(has_rel_l, "pair_id", "left")
-        .join(has_rel_r, "pair_id", "left")
-    )
+    out = p.join(rel_hit, "pair_id", "left")
     gate = (F.length("label1") < 3) | (F.length("label2") < 3) | (
         F.length("nl") < 3
     ) | (F.length("nr") < 3)
-    ng_applies = F.coalesce(F.col("ng_hit"), F.lit(False)) & (
-        F.col("l_in_dict").isNull() | F.col("r_in_dict").isNull()
-    )
     price = (
         F.when(
-            F.coalesce(F.col("syn_hit"), F.lit(False))
-            | F.coalesce(F.col("ext_hit"), F.lit(False))
-            | ng_applies,
+            F.coalesce(F.col("rel_hit"), F.lit(False)),
             F.lit(WORDNET_SYNSET_MATCH_SCORE),
         )
         .when(F.col("nl") == F.col("nr"), F.lit(WORDNET_EQUAL_PRICE))

@@ -101,7 +101,18 @@ class StageLedger:
         out = os.path.join(self.root, stage)
         ent = self.entries.get(stage)
         if ent and ent.get("fingerprint") == fingerprint and os.path.exists(out):
-            return self.spark.read.parquet(out)
+            # torn-write guard: only resume when the files on disk still
+            # carry the row count recorded at write time (parquet footers,
+            # driver-side, no Spark job). A crash between the data write
+            # and the ledger save leaves no entry (clean rebuild); a
+            # truncated or partially-deleted dir fails this check and
+            # rebuilds instead of silently resuming short.
+            try:
+                on_disk = sum(r for _, _, r in _footer_rows(out))
+            except Exception:
+                on_disk = None
+            if on_disk == ent.get("rows"):
+                return self.spark.read.parquet(out)
         t0 = time.time()
         df = build()
         writer = df.write.mode("overwrite")
@@ -135,4 +146,14 @@ class StageLedger:
         p = os.path.join(self.root, "_lineage")
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p + "/*")
+        # mergeSchema: a resumed ledger short-circuits stages, leaving their
+        # lineage dirs at whatever schema they were written with; without a
+        # merged read Spark samples one footer and can silently null or drop
+        # columns the other dirs carry (ADVICE r03). The 'file' column is
+        # NULL for rows written before it existed.
+        df = self.spark.read.option("mergeSchema", "true").parquet(p + "/*")
+        if "file" not in df.columns:  # all-old-schema roots
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("file", F.lit(None).cast("string"))
+        return df

@@ -48,11 +48,14 @@ _markup = st.sampled_from(
      "500 km2", "10/31/1912", "true", "http://x.y", "3.14, -2.5"]
 )
 _value = st.lists(st.one_of(_weird, _markup), min_size=1, max_size=4).map(" ".join)
+# NULL must round-trip identically too (ADVICE r03: duck_clear_string used to
+# collapse NULL to '' → 'null' while Spark propagates NULL)
+_value_or_null = st.one_of(st.none(), _value)
 
 
 def _compare(values: list[str], spark_col, duck_expr: str, cast=None):
     spark = _spark()
-    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    df = spark.createDataFrame([(v,) for v in values], "v: string")
     got = [r.o for r in df.select(spark_col(F.col("v")).alias("o")).collect()]
     con = duckdb.connect()
     con.register("t", __import__("pandas").DataFrame({"v": values}))
@@ -63,7 +66,7 @@ def _compare(values: list[str], spark_col, duck_expr: str, cast=None):
 
 
 @settings(max_examples=20, deadline=None)
-@given(st.lists(_value, min_size=1, max_size=25))
+@given(st.lists(_value_or_null, min_size=1, max_size=25))
 def test_norm_key_cross_engine(values):
     _compare(values, norm_key, duck_norm_key("v"))
 
@@ -87,7 +90,7 @@ def test_guess_type_cross_engine(values):
 
 
 @settings(max_examples=20, deadline=None)
-@given(st.lists(_value, min_size=1, max_size=25))
+@given(st.lists(_value_or_null, min_size=1, max_size=25))
 def test_clear_string_cross_engine(values):
     from mannheimsearchjoinsengine_spark.functions.normalize import (
         clear_string,
