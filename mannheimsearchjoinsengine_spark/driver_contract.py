@@ -32,6 +32,7 @@ from mannheimsearchjoinsengine_spark.functions.normalize import (
     duck_clear_string,
     duck_norm_key,
     duck_norm_tokens,
+    porter_stem_udf,
 )
 from mannheimsearchjoinsengine_spark.functions.typeguess import duck_guess_type
 from mannheimsearchjoinsengine_spark.operators import (
@@ -394,6 +395,44 @@ def _quality_query(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
+
+def _stem_map_path(tpath: str) -> str:
+    """Materialize a (tok, stem) parquet for the corpus vocabulary: DuckDB
+    clears the distinct surface labels with the ORACLE-side clear_string
+    twin, and each distinct token is stemmed with the pure-Python Porter
+    (_porter.stem_word) — fully independent of the Spark execution path, so
+    the kg_clear_string_stemmed oracle cross-checks the Arrow-batched
+    stemmer UDF token-for-token. Cached next to the transcripts parquet
+    (the path embeds DATAGEN_VERSION, so content at a path never changes)."""
+    import duckdb
+
+    from mannheimsearchjoinsengine_spark.functions._porter import stem_word
+
+    out = os.path.join(os.path.dirname(tpath), "stem_map.parquet")
+    if os.path.exists(out):
+        return out
+    con = duckdb.connect()
+    sql = (
+        facts_prelude(tpath)
+        + "SELECT DISTINCT unnest(string_split("
+        + duck_clear_string("label")
+        + ", ' ')) AS tok FROM (SELECT DISTINCT subj_surface AS label FROM facts)"
+    )
+    toks = sorted({r[0] for r in con.execute(sql).fetchall() if r[0] is not None})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "tok": pa.array(toks, pa.string()),
+            "stem": pa.array([stem_word(t) for t in toks], pa.string()),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
+
 
 def build_contract(sf_dir: str = SF_ORACLE_DIR) -> tuple[dict[str, Callable], dict[str, str]]:
     """Build (queries, oracles). ``sf_dir`` fixes the transcript parquet the
@@ -785,6 +824,32 @@ JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
         + "SELECT label, "
         + duck_clear_string("label")
         + " AS cleared FROM (SELECT DISTINCT subj_surface AS label FROM facts)",
+    )
+
+    stem_map = _stem_map_path(tpath)
+    q(
+        "kg_clear_string_stemmed",
+        # P1 stemming branch (StringNormalizer.java:113-114, conf-off on the
+        # hot path): the real Arrow-batched Porter UDF over cleared labels,
+        # cross-checked against a pure-Python-stemmed token mapping that the
+        # DuckDB twin joins back token-by-token in original order
+        lambda spark, sf: extract.extract_facts(load_transcripts(spark, sf))
+        .select(F.col("subj_surface").alias("label"))
+        .distinct()
+        .select(
+            "label",
+            porter_stem_udf()(clear_string(F.col("label"))).alias("stemmed"),
+        ),
+        facts_prelude(tpath)
+        + f"""
+SELECT label, string_agg(coalesce(m.stem, u.tok), ' ' ORDER BY u.i) AS stemmed
+FROM (
+  SELECT label, unnest(string_split(cleared, ' ')) AS tok,
+         generate_subscripts(string_split(cleared, ' '), 1) AS i
+  FROM (SELECT DISTINCT subj_surface AS label,
+               {duck_clear_string('subj_surface')} AS cleared FROM facts)
+) u LEFT JOIN read_parquet('{stem_map}') m ON m.tok = u.tok
+GROUP BY label""",
     )
 
     _register_fusion_queries(q, tpath)
@@ -1529,9 +1594,11 @@ SELECT c.doc_id, c.keeper_id, s.cluster_size
 FROM comp c JOIN csize s ON c.keeper_id = s.keeper_id""",
     )
 
+    # token bit b = bit (b%4) of md5 hex digit b//4 — the same nibble-bit
+    # scheme dedup.simhash uses at every width (here the 16-bit demo width)
     votes = ",\n    ".join(
-        "sum(CASE WHEN strpos('13579bdf', substr(md5(shingle), %d, 1)) > 0 "
-        "THEN 1 ELSE -1 END) AS v%d" % (b + 1, b)
+        "sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(shingle), %d, 1)) - 1) "
+        "// %d %% 2 = 1 THEN 1 ELSE -1 END) AS v%d" % (b // 4 + 1, 1 << (b % 4), b)
         for b in range(16)
     )
     bits = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
