@@ -10,9 +10,12 @@ Design for 100 TB:
 * MinHash+LSH: signatures via md5 (engine-reproducible), banded buckets →
   candidate pairs only within buckets → exact verify. Candidates per bucket
   are bounded; no all-pairs blowup.
-* SimHash: 16-bit signature from per-token md5 bits (16 bits keeps the
-  oracle SQL tractable; widen to 64 on a real cluster) — near-dups share a
-  signature or differ in ≤ hamming_max bits.
+* SimHash: signature from per-token md5 bits — near-dups share a
+  signature or differ in ≤ hamming_max bits. The driver oracle uses the
+  16-bit demo width (keeps the SQL twin tractable); the 64-bit production
+  width runs under the same scheme and is refimpl-pinned in
+  tests/test_dedup_wide.py, as is MinHash at 64 hashes / 16 bands of 4
+  (band-threshold knee ≈ 0.5, matched to the default tau).
 * embedding cosine: brute-force pair join at test scale; the LSH-bucketed
   scale path lives in ann.py.
 """
@@ -264,13 +267,27 @@ def near_dup_clusters(
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash signature: bit b is 1 when Σ_tokens (±1 by md5-bit b)
-    > 0. md5-derived bits → engine-reproducible. Returns (doc, simhash)."""
+    > 0. Token bit b is bit (b mod 4) of the token's md5 hex digit b//4 —
+    md5's 32 hex digits supply up to 128 independent bits, so the
+    production width (bits=64) and the 16-bit demo width (kept for the
+    DuckDB driver oracle) share one scheme. md5-derived bits →
+    engine-reproducible. Returns (doc, simhash); at bits=64 the top bit
+    lands in the long's sign bit (shiftleft wraps) — the signature is an
+    opaque identifier, so that's fine."""
+    if bits > 128:
+        raise ValueError("md5 supplies at most 128 signature bits")
     sets = _token_sets(docs, text_col, id_col, 1)
     h = F.md5(F.col("shingle"))
     bit_votes = [
         F.sum(
             F.when(
-                F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2 == 1, 1
+                F.shiftright(
+                    F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int"),
+                    b % 4,
+                )
+                % 2
+                == 1,
+                1,
             ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(bits)
@@ -278,7 +295,9 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     votes = sets.groupBy("doc").agg(*bit_votes)
     sig = F.lit(0).cast("long")
     for b in range(bits):
-        sig = sig + F.when(F.col(f"v{b}") > 0, 1 << b).otherwise(0)
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc", sig.alias("simhash"))
 
 
