@@ -86,3 +86,56 @@ def test_fuzzy_canonical_pipeline_matches_oracle(spark, sf_dir):
     tp = len(got & expected)
     assert tp / len(got) >= 0.95, sorted(got - expected)[:5]
     assert tp / len(expected) >= 0.95, sorted(expected - got)[:5]
+
+
+def test_torn_write_forces_clean_rebuild(spark, sf_dir, tmp_path_factory):
+    """Crash contract (r03 directive #7): a checkpoint dir that doesn't
+    match its ledger entry — or has data but no entry at all — must force a
+    clean rebuild with identical output, never a silent short resume.
+
+    Two torn shapes, one per crash window:
+    * crash BETWEEN data write and ledger save → files on disk, no entry;
+    * damage AFTER a committed write (lost file) → entry present, footer
+      row count disagrees.
+    """
+    import glob
+    import json
+    import os
+
+    root = str(tmp_path_factory.mktemp("ckpt_torn"))
+    r1 = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    t1 = sorted(
+        (r.subj, r.pred, r.obj) for r in r1["triples"].select("subj", "pred", "obj").collect()
+    )
+    ledger_path = f"{root}/_ledger.json"
+    with open(ledger_path) as f:
+        entries = json.load(f)
+    cells_rows = entries["cells"]["rows"]
+
+    # shape 1: drop the 'postings' entry but leave (and truncate) its data —
+    # the state a kill between writer.parquet() and _save() leaves behind
+    del entries["postings"]
+    with open(ledger_path, "w") as f:
+        json.dump(entries, f)
+    victim = sorted(glob.glob(f"{root}/postings/**/*.parquet", recursive=True))[0]
+    with open(victim, "wb") as f:
+        f.write(b"PAR1torn")
+
+    # shape 2: 'cells' keeps its entry but loses a data file
+    victim2 = sorted(glob.glob(f"{root}/cells/**/*.parquet", recursive=True))[0]
+    os.remove(victim2)
+    assert spark.read.parquet(f"{root}/cells").count() < cells_rows
+
+    r2 = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    t2 = sorted(
+        (r.subj, r.pred, r.obj) for r in r2["triples"].select("subj", "pred", "obj").collect()
+    )
+    assert t1 == t2
+    # both stages were rebuilt whole: ledger rows match reality again and
+    # no torn bytes survive (overwrite mode replaced the dirs)
+    with open(ledger_path) as f:
+        rebuilt = json.load(f)
+    assert rebuilt["cells"]["rows"] == cells_rows
+    assert spark.read.parquet(f"{root}/cells").count() == cells_rows
+    assert rebuilt["postings"]["rows"] == spark.read.parquet(f"{root}/postings").count()
+    assert not os.path.exists(victim) or os.path.getsize(victim) != 8
