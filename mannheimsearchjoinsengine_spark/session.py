@@ -24,6 +24,7 @@ Design notes for the 100 TB target (local[32] is only the test harness):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -77,6 +78,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Executor-side Python needs the package importable when the master
+        # is local-cluster[...] (separate worker JVMs spawn their own Python
+        # workers; unlike local[n] they inherit neither sys.path nor the
+        # interpreter). No-op for plain local mode.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        .config("spark.pyspark.python", sys.executable)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
