@@ -10,11 +10,12 @@ publishes) plus ``load_psl()`` to ingest a full ``public_suffix_list.dat``
 file when one is available on the cluster.
 
 Both the Spark expressions and their DuckDB twins implement the PSL
-algorithm over a rule set (exact rules up to 3 labels, wildcard rules
+algorithm over a rule set (exact rules up to 4 labels, wildcard rules
 ``*.ck``, exception rules ``!www.ck``):
 
     exception match  → suffix = the exception minus its leftmost label
-    else longest of: 3-label exact | (2-label wildcard base)+1 label
+    else longest of: 4-label exact | 3-label exact
+                   | (2-label wildcard base)+1 label
                    | 2-label exact | (1-label wildcard base)+1 label
     else             → the last label
     registered_domain = suffix plus one more label to its left
@@ -22,8 +23,8 @@ algorithm over a rule set (exact rules up to 3 labels, wildcard rules
 
 The builtin curated set (``PSL_2LEVEL``) is exact-2-label only; a full
 ``public_suffix_list.dat`` ingested by ``load_psl`` exercises all three
-rule kinds. Exact rules with ≥4 labels (a handful of ``k12.*.us``-style
-zones) are truncated out by ``load_psl`` and documented there.
+rule kinds, including the ``pvt.k12.ma.us``-style 4-label exact zones
+(the published list's deepest exact rules).
 """
 
 from __future__ import annotations
@@ -107,10 +108,10 @@ PSL_2LEVEL: tuple[str, ...] = tuple(sorted({
 def load_psl(path: str) -> PslRules:
     """Parse a full ``public_suffix_list.dat`` into a :class:`PslRules`.
 
-    * exact rules: kept with 2-3 labels (1-label rules are the trivial TLD
-      fallback; the few ≥4-label rules are dropped — the extractors evaluate
-      up to last-3, and truncating, not silently mis-scoping, is the
-      documented reduction);
+    * exact rules: kept with 2-4 labels (1-label rules are the trivial TLD
+      fallback; the current published list has no ≥5-label exact rules —
+      any that appeared would be dropped here, a loud cap rather than a
+      silent mis-scope);
     * wildcard rules ``*.X``: the base ``X`` is kept (1-2 labels);
     * exception rules ``!E``: the suffix ``E`` is kept (2-3 labels).
 
@@ -131,7 +132,7 @@ def load_psl(path: str) -> PslRules:
                 b = line[2:]
                 if b.count(".") <= 1 and "*" not in b:
                     wildcard.add(b)
-            elif "*" not in line and 1 <= line.count(".") <= 2:
+            elif "*" not in line and 1 <= line.count(".") <= 3:
                 exact.add(line)
     return PslRules(
         exact=tuple(sorted(exact)),
@@ -146,7 +147,8 @@ def _last_labels(host: Column):
     last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)), last1)
     last3 = F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2)
     last4 = F.concat_ws(".", F.try_element_at(parts, F.lit(-4)), last3)
-    return F.size(parts), last1, last2, last3, last4
+    last5 = F.concat_ws(".", F.try_element_at(parts, F.lit(-5)), last4)
+    return F.size(parts), last1, last2, last3, last4, last5
 
 
 def _isin(col: Column, values: tuple[str, ...]) -> Column:
@@ -158,10 +160,11 @@ def public_suffix(host: Column, suffixes=PSL_2LEVEL) -> Column:
     docstring). With the default exact-2-label subset this reduces to:
     last-2 labels if known, else the last label."""
     r = _rules(suffixes)
-    n, last1, last2, last3, _ = _last_labels(host)
+    n, last1, last2, last3, last4, _ = _last_labels(host)
     return (
         F.when(_isin(last3, _by_labels(r.exception, 3)), last2)
         .when(_isin(last2, _by_labels(r.exception, 2)), last1)
+        .when((n >= 4) & _isin(last4, _by_labels(r.exact, 4)), last4)
         .when((n >= 3) & _isin(last3, _by_labels(r.exact, 3)), last3)
         .when((n >= 3) & _isin(last2, _by_labels(r.wildcard, 2)), last3)
         .when((n >= 2) & _isin(last2, _by_labels(r.exact, 2)), last2)
@@ -175,10 +178,12 @@ def registered_domain(host: Column, suffixes=PSL_2LEVEL) -> Column:
     ``bbc.co.uk``; ``www.example.com`` → ``example.com``; a bare suffix or
     single-label host maps to itself)."""
     r = _rules(suffixes)
-    n, last1, last2, last3, last4 = _last_labels(host)
+    n, last1, last2, last3, last4, last5 = _last_labels(host)
     return (
         F.when(_isin(last3, _by_labels(r.exception, 3)), last3)
         .when(_isin(last2, _by_labels(r.exception, 2)), last2)
+        .when((n >= 5) & _isin(last4, _by_labels(r.exact, 4)), last5)
+        .when((n >= 4) & _isin(last4, _by_labels(r.exact, 4)), last4)  # host IS the suffix
         .when((n >= 4) & _isin(last3, _by_labels(r.exact, 3)), last4)
         .when((n >= 3) & _isin(last3, _by_labels(r.exact, 3)), last3)  # host IS the suffix
         .when((n >= 4) & _isin(last2, _by_labels(r.wildcard, 2)), last4)
@@ -205,9 +210,11 @@ def duck_public_suffix(host_expr: str, suffixes=PSL_2LEVEL) -> str:
     last1 = f"{parts}[-1]"
     last2 = f"({parts}[-2] || '.' || {parts}[-1])"
     last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    last4 = f"({parts}[-4] || '.' || {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
     return (
         f"(CASE WHEN {_duck_cond(last3, _by_labels(r.exception, 3))} THEN {last2} "
         f"WHEN {_duck_cond(last2, _by_labels(r.exception, 2))} THEN {last1} "
+        f"WHEN len({parts}) >= 4 AND {_duck_cond(last4, _by_labels(r.exact, 4))} THEN {last4} "
         f"WHEN len({parts}) >= 3 AND {_duck_cond(last3, _by_labels(r.exact, 3))} THEN {last3} "
         f"WHEN len({parts}) >= 3 AND {_duck_cond(last2, _by_labels(r.wildcard, 2))} THEN {last3} "
         f"WHEN len({parts}) >= 2 AND {_duck_cond(last2, _by_labels(r.exact, 2))} THEN {last2} "
@@ -224,9 +231,15 @@ def duck_registered_domain(host_expr: str, suffixes=PSL_2LEVEL) -> str:
     last2 = f"({parts}[-2] || '.' || {parts}[-1])"
     last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
     last4 = f"({parts}[-4] || '.' || {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    last5 = (
+        f"({parts}[-5] || '.' || {parts}[-4] || '.' || {parts}[-3] || '.' || "
+        f"{parts}[-2] || '.' || {parts}[-1])"
+    )
     return (
         f"(CASE WHEN {_duck_cond(last3, _by_labels(r.exception, 3))} THEN {last3} "
         f"WHEN {_duck_cond(last2, _by_labels(r.exception, 2))} THEN {last2} "
+        f"WHEN len({parts}) >= 5 AND {_duck_cond(last4, _by_labels(r.exact, 4))} THEN {last5} "
+        f"WHEN len({parts}) >= 4 AND {_duck_cond(last4, _by_labels(r.exact, 4))} THEN {last4} "
         f"WHEN len({parts}) >= 4 AND {_duck_cond(last3, _by_labels(r.exact, 3))} THEN {last4} "
         f"WHEN len({parts}) >= 3 AND {_duck_cond(last3, _by_labels(r.exact, 3))} THEN {last3} "
         f"WHEN len({parts}) >= 4 AND {_duck_cond(last2, _by_labels(r.wildcard, 2))} THEN {last4} "

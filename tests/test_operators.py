@@ -327,18 +327,18 @@ def test_date_format_cascade_cross_engine(spark):
 
 def test_load_psl(tmp_path):
     """load_psl parses a publicsuffix.dat into the three PSL rule kinds:
-    exact (2-3 labels), wildcard bases (``*.ck`` → ``ck``), exceptions
-    (``!www.ck`` → ``www.ck``); comments / 1-label TLDs / ≥4-label exact
+    exact (2-4 labels), wildcard bases (``*.ck`` → ``ck``), exceptions
+    (``!www.ck`` → ``www.ck``); comments / 1-label TLDs / ≥5-label exact
     rules are dropped."""
     from mannheimsearchjoinsengine_spark.functions.domains import PslRules, load_psl
 
     dat = tmp_path / "psl.dat"
     dat.write_text(
         "// comment\n\ncom\nco.uk\n*.ck\n!www.ck\nsch.uk\n ac.uk \nuk\n"
-        "act.edu.au\na.b.c.d\n*.kawasaki.jp\n!city.kawasaki.jp\n"
+        "act.edu.au\npvt.k12.ma.us\na.b.c.d.e\n*.kawasaki.jp\n!city.kawasaki.jp\n"
     )
     assert load_psl(str(dat)) == PslRules(
-        exact=("ac.uk", "act.edu.au", "co.uk", "sch.uk"),
+        exact=("ac.uk", "act.edu.au", "co.uk", "pvt.k12.ma.us", "sch.uk"),
         wildcard=("ck", "kawasaki.jp"),
         exception=("city.kawasaki.jp", "www.ck"),
     )
@@ -361,7 +361,7 @@ def test_psl_wildcard_exception_rules(spark):
     )
 
     rules = PslRules(
-        exact=("co.uk", "act.edu.au"),
+        exact=("co.uk", "act.edu.au", "pvt.k12.ma.us"),
         wildcard=("ck", "kawasaki.jp"),
         exception=("www.ck", "city.kawasaki.jp"),
     )
@@ -379,6 +379,10 @@ def test_psl_wildcard_exception_rules(spark):
         ("act.edu.au", "act.edu.au", "act.edu.au"),               # bare suffix
         ("www.bbc.co.uk", "co.uk", "bbc.co.uk"),                  # 2-label exact intact
         ("plain.com", "com", "plain.com"),
+        # 4-label exact rule (PSL's deepest published exact zones)
+        ("school.pvt.k12.ma.us", "pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+        ("www.school.pvt.k12.ma.us", "pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+        ("pvt.k12.ma.us", "pvt.k12.ma.us", "pvt.k12.ma.us"),      # bare 4-label suffix
     ]
     df = spark.createDataFrame([(h,) for h, _, _ in goldens], ["host"])
     got = {
