@@ -31,14 +31,28 @@ def uri_ify(col: Column) -> Column:
     return F.regexp_replace(F.initcap(col), r"\s+", "")
 
 
-def to_triples(resolved: DataFrame, clusters: DataFrame, dtypes: DataFrame) -> DataFrame:
+def to_triples(
+    resolved: DataFrame,
+    clusters: DataFrame,
+    dtypes: DataFrame,
+    broadcast_clusters: bool = True,
+) -> DataFrame:
     """Join resolved facts to canonical labels + dtype and emit the triple
     table. `resolved`: (subj_norm, pred_canon, obj_resolved);
     `clusters`: (subj_norm, canonical_label); `dtypes`: (pred_canon,
-    dtype_major). Cluster + dtype sides are label-cardinality → broadcast.
+    dtype_major).
+
+    ``dtypes`` is predicate-cardinality (schema-bounded) → always
+    broadcast. ``clusters`` is one row per distinct SUBJECT — unbounded at
+    web scale — so its hint is gated by the caller (run_pipeline measures
+    the stage row count vs autoBroadcastJoinThreshold); the fallback is a
+    plain shuffle join, which needs no salting here: both sides are
+    aggregated grains (≤ one row per (subj, pred) left, exactly one row
+    per subj right), so no key is hot by construction.
     """
+    c = clusters.select("subj_norm", "canonical_label")
     t = (
-        resolved.join(F.broadcast(clusters.select("subj_norm", "canonical_label")), "subj_norm")
+        resolved.join(F.broadcast(c) if broadcast_clusters else c, "subj_norm")
         .join(F.broadcast(dtypes), "pred_canon")
         .select(
             F.col("canonical_label").alias("subj"),

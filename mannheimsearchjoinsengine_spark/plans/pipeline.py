@@ -141,7 +141,12 @@ def run_pipeline(
     )
     triples = stage(
         "triples",
-        lambda: to_triples(resolved, clusters, dtypes),
+        lambda: to_triples(
+            resolved,
+            clusters,
+            dtypes,
+            broadcast_clusters=small("clusters", clusters),
+        ),
         partition_by=["subj_bucket"],
     )
     return {
