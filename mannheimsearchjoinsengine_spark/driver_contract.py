@@ -434,6 +434,56 @@ def _stem_map_path(tpath: str) -> str:
     return out
 
 
+def _wordnet_lexicon_path() -> str:
+    """A small deterministic (word, related, tier) lexicon over the corpus
+    predicate vocabulary, materialized as parquet so DuckDB and Spark read
+    the same rows. Static — not derived from any WordNet export (none in
+    the sandbox); the WNDB builder path is tested separately
+    (tests/test_wordnet_build.py)."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "wordnet_lexicon.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # tier 1 synset members (a word's synset contains its own lemma)
+        ("population", "population", 1), ("population", "pop", 1),
+        ("pop", "population", 1), ("pop", "pop", 1),
+        ("staff", "staff", 1), ("staff", "employees", 1),
+        ("employees", "staff", 1), ("employees", "employees", 1),
+        ("capital", "capital", 1),
+        ("location", "location", 1),
+        ("birthplace", "birthplace", 1),
+        ("headquarters", "headquarters", 1),
+        ("area", "area", 1),
+        # tier 2 hypernyms
+        ("population", "group", 2), ("pop", "group", 2),
+        ("capital", "city", 2),
+        ("birthplace", "location", 2),
+        ("headquarters", "office", 2),
+        ("area", "region", 2),
+        # tier 3 hyponyms (part of the extended list)
+        ("location", "birthplace", 3),
+    ]
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    table = pa.table(
+        {
+            "word": pa.array([w for w, _, _ in rows], pa.string()),
+            "related": pa.array([r for _, r, _ in rows], pa.string()),
+            "tier": pa.array([t for _, _, t in rows], pa.int32()),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
+
+
 def build_contract(sf_dir: str = SF_ORACLE_DIR) -> tuple[dict[str, Callable], dict[str, str]]:
     """Build (queries, oracles). ``sf_dir`` fixes the transcript parquet the
     ORACLE SQL reads (the Spark side always uses its call-time sf_dir)."""
@@ -850,6 +900,63 @@ FROM (
                {duck_clear_string('subj_surface')} AS cleared FROM facts)
 ) u LEFT JOIN read_parquet('{stem_map}') m ON m.tok = u.tok
 GROUP BY label""",
+    )
+
+    from mannheimsearchjoinsengine_spark.functions.similarity import duck_string_sim_24
+    from mannheimsearchjoinsengine_spark.operators.wordnet import wordnet_label_scores
+
+    wn_lex = _wordnet_lexicon_path()
+
+    def _wn_query(spark: SparkSession, sf: str) -> DataFrame:
+        lex = spark.read.parquet(wn_lex)
+        preds = (
+            extract.extract_facts(load_transcripts(spark, sf))
+            .select(F.col("pred_raw").alias("label"))
+            .distinct()
+        )
+        pairs = preds.select(F.col("label").alias("label1")).join(
+            preds.select(F.col("label").alias("label2")),
+            F.col("label1") <= F.col("label2"),
+        )
+        return wordnet_label_scores(pairs, lex)
+
+    q(
+        "kg_wordnet_scores",
+        # F7 matchStrings cascade over the predicate vocabulary with the
+        # shared parquet lexicon. The oracle implements only the extended-
+        # list intersection: for SINGLE-TOKEN labels (every predicate) the
+        # ngram fallback is provably identical to it — a label's only
+        # 1-gram is the label itself, so an out-of-dict label's ngram list
+        # is empty (the multi-token ngram tier is pinned by pytest goldens
+        # instead, tests/test_wordnet_build.py / test_operators.py).
+        _wn_query,
+        facts_prelude(tpath)
+        + f""",
+preds AS (SELECT DISTINCT pred_raw AS label FROM facts),
+pairs AS (SELECT a.label AS label1, b.label AS label2
+          FROM preds a JOIN preds b ON a.label <= b.label),
+norm AS (SELECT label1, label2, {duck_clear_string('label1')} AS nl,
+                {duck_clear_string('label2')} AS nr FROM pairs),
+lex AS (SELECT word, related FROM read_parquet('{wn_lex}')),
+hit AS (
+  SELECT DISTINCT n.label1, n.label2
+  FROM norm n
+  JOIN lex l ON l.word = n.nl
+  JOIN lex r ON r.word = n.nr AND r.related = l.related
+),
+scored AS (
+  SELECT n.label1, n.label2,
+    (length(n.label1) < 3 OR length(n.label2) < 3
+     OR length(n.nl) < 3 OR length(n.nr) < 3) AS gate,
+    CASE WHEN h.label1 IS NOT NULL THEN 2.0
+         WHEN n.nl = n.nr THEN 2.2 ELSE 1.0 END AS p,
+    {duck_string_sim_24('n.nl', 'n.nr')} AS sim
+  FROM norm n LEFT JOIN hit h ON h.label1 = n.label1 AND h.label2 = n.label2
+)
+SELECT label1, label2,
+  CAST(CASE WHEN gate THEN 0.0 ELSE p END AS DOUBLE) AS price,
+  CAST(CASE WHEN gate THEN 0.0 ELSE round(sim * p, 4) END AS DOUBLE) AS wn_score
+FROM scored""",
     )
 
     _register_fusion_queries(q, tpath)
