@@ -402,13 +402,17 @@ def _stem_map_path(tpath: str) -> str:
     twin, and each distinct token is stemmed with the pure-Python Porter
     (_porter.stem_word) — fully independent of the Spark execution path, so
     the kg_clear_string_stemmed oracle cross-checks the Arrow-batched
-    stemmer UDF token-for-token. Cached next to the transcripts parquet
-    (the path embeds DATAGEN_VERSION, so content at a path never changes)."""
+    stemmer UDF token-for-token. Cached in a SIBLING of the transcripts dir
+    (the path embeds DATAGEN_VERSION, so content at a path never changes) —
+    NOT inside it: `streaming.transcript_stream` reads the whole transcript
+    directory as a file-source stream, and a foreign-schema parquet there
+    turns into all-null transcript rows."""
     import duckdb
 
     from mannheimsearchjoinsengine_spark.functions._porter import stem_word
 
-    out = os.path.join(os.path.dirname(tpath), "stem_map.parquet")
+    out = os.path.join(os.path.dirname(tpath) + "_aux", "stem_map.parquet")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     if os.path.exists(out):
         return out
     con = duckdb.connect()

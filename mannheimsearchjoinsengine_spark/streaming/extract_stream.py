@@ -142,6 +142,11 @@ def stateful_conv_progress(stream: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         n, mx = state.get if state.exists else (0, -1)
         for pdf in pdfs:
+            # Arrow chunking can deliver an empty frame for a group (seen
+            # under high task counts); pd.max() on it is NaN, which must
+            # not poison the integer state
+            if not len(pdf):
+                continue
             n += len(pdf)
             mx = max(mx, int(pdf["turn_idx"].max()))
         state.update((n, mx))
