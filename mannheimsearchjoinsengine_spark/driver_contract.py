@@ -438,6 +438,67 @@ def _stem_map_path(tpath: str) -> str:
     return out
 
 
+def infogather_ctes(attribute: str, damping: float = 0.85, iters: int = 4) -> str:
+    """CTE chain appended after facts_prelude (uses its ``facts`` +
+    ``mentions``): the DuckDB twin of operators/infogather — df-capped
+    table graph, DMA seeds, β, and the personalized-PageRank power
+    iteration UNROLLED to ``iters`` generated itN CTEs (recursive CTEs
+    can't aggregate in the recursive term; k is a fixed small constant).
+    Ends having defined ``it{iters}`` and ``ig_rel``."""
+    d = damping
+    sql = f""",
+ig_keys AS (SELECT DISTINCT conv_id, subj_norm FROM facts),
+ig_nconv AS (SELECT count(DISTINCT conv_id) AS n FROM ig_keys),
+ig_hot AS (
+  SELECT subj_norm FROM (
+    SELECT subj_norm, count(DISTINCT conv_id) AS df FROM ig_keys GROUP BY 1), ig_nconv
+  WHERE df > floor(0.5 * n) + 1
+),
+ig_k AS (SELECT * FROM ig_keys WHERE subj_norm NOT IN (SELECT subj_norm FROM ig_hot)),
+ig_shared AS (
+  SELECT a.conv_id AS src, b.conv_id AS dst, count(*) AS shared
+  FROM ig_k a JOIN ig_k b USING (subj_norm)
+  WHERE a.conv_id <> b.conv_id GROUP BY 1, 2
+),
+ig_deg AS (SELECT src, sum(shared) AS out_w FROM ig_shared GROUP BY 1),
+ig_w AS (SELECT s.src, s.dst, s.shared / d.out_w AS w FROM ig_shared s JOIN ig_deg d USING (src)),
+ig_qk AS (SELECT DISTINCT subj_norm FROM mentions),
+ig_matched AS (
+  SELECT k.conv_id, k.subj_norm FROM ig_keys k JOIN ig_qk USING (subj_norm)
+  WHERE k.conv_id IN (SELECT DISTINCT conv_id FROM facts WHERE pred_raw = '{attribute}')
+),
+ig_overlap AS (SELECT conv_id, count(DISTINCT subj_norm) AS o FROM ig_matched GROUP BY 1),
+ig_rows AS (SELECT conv_id, count(*) AS n_rows FROM facts GROUP BY 1),
+ig_nq AS (SELECT count(*) AS n_q FROM ig_qk),
+ig_dma AS (
+  SELECT o.conv_id, o.o / least(q.n_q, r.n_rows) AS dma
+  FROM ig_overlap o JOIN ig_rows r USING (conv_id), ig_nq q
+),
+ig_beta AS (SELECT conv_id, dma / (SELECT sum(dma) FROM ig_dma) AS beta FROM ig_dma),
+ig_nodes AS (
+  SELECT DISTINCT conv_id FROM (
+    SELECT src AS conv_id FROM ig_w UNION SELECT dst FROM ig_w
+    UNION SELECT conv_id FROM ig_beta)
+),
+ig_base AS (
+  SELECT n.conv_id, coalesce(b.beta, 0.0) AS beta
+  FROM ig_nodes n LEFT JOIN ig_beta b USING (conv_id)
+),
+it0 AS (SELECT conv_id, beta AS score FROM ig_base)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+it{i} AS (
+  SELECT b.conv_id, (1.0 - {d}) * b.beta + {d} * coalesce(f.acc, 0.0) AS score
+  FROM ig_base b LEFT JOIN (
+    SELECT w.dst AS conv_id, sum(w.w * p.score) AS acc
+    FROM ig_w w JOIN it{i - 1} p ON p.conv_id = w.src GROUP BY 1
+  ) f USING (conv_id)
+)"""
+    sql += """,
+ig_rel AS (SELECT DISTINCT conv_id FROM ig_keys JOIN ig_qk USING (subj_norm))"""
+    return sql
+
+
 def _wordnet_lexicon_path() -> str:
     """A small deterministic (word, related, tier) lexicon over the corpus
     predicate vocabulary, materialized as parquet so DuckDB and Spark read
@@ -961,6 +1022,57 @@ SELECT label1, label2,
   CAST(CASE WHEN gate THEN 0.0 ELSE p END AS DOUBLE) AS price,
   CAST(CASE WHEN gate THEN 0.0 ELSE round(sim * p, 4) END AS DOUBLE) AS wn_score
 FROM scored""",
+    )
+
+    from mannheimsearchjoinsengine_spark.operators import infogather
+
+    q(
+        "kg_infogather_tsp",
+        # J9 Q1+Q2: DMA seeds over the mention keys -> beta -> 4-iteration
+        # personalized PageRank on the df-capped conversation graph,
+        # restricted to relevant conversations (QueryProcessor.java:94-285)
+        lambda spark, sf: infogather.relevant_tsp(
+            extract.extract_facts(load_transcripts(spark, sf)),
+            extract.extract_mentions(load_transcripts(spark, sf)),
+            attribute="capital",
+        ).select("conv_id", F.round("tsp", 6).alias("tsp")),
+        facts_prelude(tpath)
+        + infogather_ctes("capital")
+        + """
+SELECT t.conv_id, round(t.score, 6) AS tsp FROM it4 t JOIN ig_rel USING (conv_id)""",
+    )
+
+    q(
+        "kg_infogather_augment",
+        # J9 Q3: augmentation-by-attribute — candidate values weighted by
+        # the summed TSP of asserting conversations, best value per key
+        # (QueryProcessor.java:295-317); ranked on the rounded score so the
+        # winner never hinges on cross-engine float-summation order
+        lambda spark, sf: infogather.augment_by_attribute(
+            extract.extract_facts(load_transcripts(spark, sf)),
+            extract.extract_mentions(load_transcripts(spark, sf)),
+            attribute="capital",
+        ),
+        facts_prelude(tpath)
+        + infogather_ctes("capital")
+        + """,
+ig_cand AS (
+  SELECT DISTINCT f.conv_id, f.subj_norm, f.obj_raw
+  FROM facts f JOIN ig_qk USING (subj_norm)
+  WHERE f.pred_raw = 'capital'
+),
+ig_scored AS (
+  SELECT c.subj_norm, c.obj_raw, round(sum(t.score), 6) AS score
+  FROM ig_cand c
+  JOIN (SELECT r.conv_id, i.score FROM it4 i JOIN ig_rel r USING (conv_id)) t
+    USING (conv_id)
+  GROUP BY 1, 2
+)
+SELECT subj_norm, obj_raw, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY subj_norm
+                               ORDER BY score DESC, obj_raw ASC) AS rn
+  FROM ig_scored
+) WHERE rn = 1""",
     )
 
     _register_fusion_queries(q, tpath)

@@ -737,3 +737,53 @@ def test_wordnet_label_scores(spark):
     # so a synonym pair with NO shared character grams still scores 0 —
     # quirk replicated, price carries the synset evidence separately
     assert rows[("population", "inhabitants")][1] == 0.0
+
+
+def test_infogather_tsp_matches_numpy_refimpl(spark):
+    """J9 (QueryProcessor.java:42-317 re-expressed): DMA seeds, beta
+    normalization, and the 4-iteration personalized-PageRank on a
+    hand-built 4-conversation graph, cross-checked against a dense numpy
+    power iteration; plus the Q3 augment winner selection."""
+    import numpy as np
+
+    from mannheimsearchjoinsengine_spark.operators import infogather
+
+    facts = spark.createDataFrame(
+        [
+            ("A", "x", "p", "v1"), ("A", "x", "q", "o"),
+            ("B", "x", "q", "o"), ("B", "y", "q", "o"),
+            ("C", "y", "p", "v2"), ("C", "z", "q", "o"),
+            ("D", "z", "q", "o"),
+        ],
+        "conv_id string, subj_norm string, pred_raw string, obj_raw string",
+    )
+    mentions = spark.createDataFrame([("x",), ("y",)], "subj_norm: string")
+
+    got = {
+        r.conv_id: r.tsp
+        for r in infogather.relevant_tsp(facts, mentions, attribute="p")
+        .select("conv_id", F.round("tsp", 6).alias("tsp"))
+        .collect()
+    }
+
+    # dense refimpl: nodes A,B,C,D; edges A-B, B-C, C-D with shared=1;
+    # row-stochastic weights; seeds A,C with beta 0.5 each (overlap 1,
+    # min(n_q=2, n_rows)=2 -> dma 0.5, normalized)
+    idx = {"A": 0, "B": 1, "C": 2, "D": 3}
+    W = np.zeros((4, 4))
+    for u, v in [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"), ("C", "D"), ("D", "C")]:
+        W[idx[u], idx[v]] = 1.0
+    W = W / W.sum(axis=1, keepdims=True)
+    beta = np.array([0.5, 0.0, 0.5, 0.0])
+    s = beta.copy()
+    for _ in range(4):
+        s = 0.15 * beta + 0.85 * (W.T @ s)
+    want = {c: round(float(s[i]), 6) for c, i in idx.items() if c in {"A", "B", "C"}}
+    assert got == want  # D shares no query key -> not relevant
+
+    aug = {
+        (r.subj_norm): (r.obj_raw, r.score)
+        for r in infogather.augment_by_attribute(facts, mentions, "p").collect()
+    }
+    assert aug["x"][0] == "v1" and aug["y"][0] == "v2"
+    assert aug["x"][1] == round(float(s[idx["A"]]), 6)
