@@ -59,7 +59,9 @@ def conv_key_sets(facts: DataFrame) -> DataFrame:
     return facts.select("conv_id", "subj_norm").distinct()
 
 
-def conv_graph(facts: DataFrame, df_cap: float = 0.5) -> DataFrame:
+def conv_graph(
+    facts: DataFrame, df_cap: float = 0.5, keys: DataFrame | None = None
+) -> DataFrame:
     """Row-stochastic similarity edges (src, dst, w) between conversations
     sharing subject keys; weight = shared-distinct-key count / out-degree.
 
@@ -67,8 +69,12 @@ def conv_graph(facts: DataFrame, df_cap: float = 0.5) -> DataFrame:
     dropped from the pairing (broadcast hot-side left_anti — the bounded
     side, same pattern as ``index.build_postings``): a hub subject would
     otherwise pair O(n²) conversations while carrying no topical signal.
+
+    ``keys``: pass a pre-materialized ``conv_key_sets(facts)`` when the
+    caller consumes it elsewhere too (relevant_tsp does) — otherwise the
+    extract subtree re-runs per consumer.
     """
-    keys = conv_key_sets(facts)
+    keys = conv_key_sets(facts) if keys is None else keys
     if df_cap is not None:
         n_convs = keys.agg(F.countDistinct("conv_id").alias("n_convs"))
         hot = (
@@ -94,14 +100,17 @@ def conv_graph(facts: DataFrame, df_cap: float = 0.5) -> DataFrame:
 
 
 def dma_seeds(
-    facts: DataFrame, query_keys: DataFrame, attribute: str | None = None
+    facts: DataFrame,
+    query_keys: DataFrame,
+    attribute: str | None = None,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Q1: (conv_id, beta) — DMA = |matched distinct query keys| /
     min(|query keys|, |conversation fact rows|), restricted to
     conversations carrying ``attribute`` when given, normalized to sum 1
     (Eq. 6). ``query_keys``: one ``subj_norm`` per row."""
     qk = query_keys.select("subj_norm").distinct()
-    keys = conv_key_sets(facts)
+    keys = conv_key_sets(facts) if keys is None else keys
     matched = keys.join(qk, "subj_norm")
     if attribute is not None:
         with_attr = (
@@ -178,13 +187,21 @@ def relevant_tsp(
 ) -> DataFrame:
     """Seed → graph → TSP, filtered to the RELEVANT conversations (≥ 1 key
     overlapping the query table, ``GetSeedTables:128-131``) — the only
-    ones Q3 can use. Returns (conv_id, tsp)."""
-    edges = conv_graph(facts, df_cap=df_cap)
-    beta = dma_seeds(facts, query_keys, attribute)
+    ones Q3 can use. Returns (conv_id, tsp).
+
+    Plan shape: the key-set and edge tables feed several consumers (graph
+    build, seeding, relevance filter, and every power iteration), so both
+    are materialized ONCE (localCheckpoint; stage ledger on a cluster) —
+    an all-lazy tree re-ran the extract + self-join subtree per iteration
+    (measured 63 s → 13 s at sf0.1; the remainder is the unavoidable
+    extract scans for row counts / attribute filtering, which the
+    pipeline's ledger would serve from the cells stage)."""
+    keys = conv_key_sets(facts).localCheckpoint()
+    edges = conv_graph(facts, df_cap=df_cap, keys=keys).localCheckpoint()
+    beta = dma_seeds(facts, query_keys, attribute, keys=keys)
     tsp = tsp_scores(edges, beta, damping, iterations)
     relevant = (
-        conv_key_sets(facts)
-        .join(query_keys.select("subj_norm").distinct(), "subj_norm")
+        keys.join(query_keys.select("subj_norm").distinct(), "subj_norm")
         .select("conv_id")
         .distinct()
     )
