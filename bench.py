@@ -109,6 +109,7 @@ def main() -> None:
             "kg_probe_topk",
             "kg_join_results",
             "kg_resolve_voting",
+            "kg_infogather_tsp",
             "doc_minhash_lsh",
             "doc_ngram_jaccard_top",
             "doc_dup_clusters",
