@@ -32,6 +32,7 @@ from mannheimsearchjoinsengine_spark.functions.normalize import (
     duck_clear_string,
     duck_norm_key,
     duck_norm_tokens,
+    fastjoin_norm,
     porter_stem_udf,
 )
 from mannheimsearchjoinsengine_spark.functions.typeguess import duck_guess_type
@@ -733,6 +734,84 @@ SELECT * FROM (
     )
 
     q(
+        "kg_best_hits",
+        # W1 best-hit-per-value over the probe's top-k (SearchJoin.java:
+        # 951-1031: per query value keep the single best candidate; ties
+        # prefer the SHORTER value, then lexicographic)
+        lambda spark, sf: probe.best_hit_dedup(
+            probe.probe(_mentions(spark, sf), index.build_postings(_facts_ck(spark, sf)))
+        ).select("query_norm", "cand_norm", "matched_tokens", "n_query_tokens"),
+        facts_prelude(tpath)
+        + postings_body()
+        + f""",
+q AS (
+  SELECT subj_norm AS query_norm, unnest({duck_norm_tokens('subj_norm')}) AS token
+  FROM (SELECT DISTINCT subj_norm FROM mentions)
+),
+qsize AS (SELECT query_norm, count(*) AS n_query_tokens FROM q GROUP BY 1),
+cand AS (SELECT DISTINCT token, subj_norm AS cand_norm FROM postings),
+hits AS (
+  SELECT q.query_norm, c.cand_norm, count(*) AS matched_tokens
+  FROM q JOIN cand c ON q.token = c.token GROUP BY 1, 2
+),
+top5 AS (
+  SELECT * FROM (
+    SELECT h.*, s.n_query_tokens,
+           row_number() OVER (PARTITION BY h.query_norm
+                              ORDER BY h.matched_tokens DESC, h.cand_norm ASC) AS rank
+    FROM hits h JOIN qsize s ON h.query_norm = s.query_norm
+  ) WHERE rank <= 5
+)
+SELECT query_norm, cand_norm, matched_tokens, n_query_tokens FROM (
+  SELECT t.*, row_number() OVER (PARTITION BY query_norm
+             ORDER BY matched_tokens DESC, length(cand_norm) ASC, cand_norm ASC) AS brn
+  FROM top5 t) WHERE brn = 1""",
+    )
+
+    q(
+        "kg_eval_gold",
+        # J8 gold-standard evaluation (SearchTableResultAnalyzer.
+        # analyzeResult:236+, getPrecision:139-160): precision/recall of the
+        # top-100 join-result conversations vs a deterministic gold set
+        # (convs with >= 10 distinct predicates — the GoldStandardBuilder
+        # analog, derivable in both engines from the same corpus)
+        lambda spark, sf: probe.evaluate_vs_gold(
+            probe.join_results(_mentions(spark, sf), _facts_ck(spark, sf)),
+            extract.extract_facts(load_transcripts(spark, sf))
+            .groupBy("conv_id")
+            .agg(F.countDistinct("pred_raw").alias("npred"))
+            .filter(F.col("npred") >= 10)
+            .select("conv_id"),
+        ),
+        facts_prelude(tpath)
+        + """,
+l AS (SELECT subj_norm, count(*) AS mult_l FROM mentions GROUP BY 1),
+r AS (SELECT subj_norm, conv_id, count(*) AS mult_r FROM facts GROUP BY 1, 2),
+jr AS (
+  SELECT r.conv_id, count(*) AS matched_keys,
+         CAST(sum(l.mult_l * r.mult_r) AS BIGINT) AS join_size
+  FROM l JOIN r ON l.subj_norm = r.subj_norm GROUP BY 1
+),
+top100 AS (
+  SELECT conv_id FROM (
+    SELECT jr.*, row_number() OVER (ORDER BY matched_keys DESC, join_size DESC,
+                                    conv_id ASC) AS total_rank
+    FROM jr) WHERE total_rank <= 100
+),
+gold AS (SELECT conv_id FROM facts GROUP BY 1 HAVING count(DISTINCT pred_raw) >= 10),
+rset AS (SELECT DISTINCT conv_id, 1 AS in_r FROM top100),
+gset AS (SELECT DISTINCT conv_id, 1 AS in_g FROM gold),
+rg AS (SELECT rset.in_r, gset.in_g
+        FROM rset FULL OUTER JOIN gset ON rset.conv_id = gset.conv_id)
+SELECT CAST(sum(in_r) AS BIGINT) AS n_retrieved,
+       CAST(sum(in_g) AS BIGINT) AS n_gold,
+       CAST(sum(in_r * in_g) AS BIGINT) AS n_correct,
+       round(sum(in_r * in_g) / sum(in_r), 4) AS precision,
+       round(sum(in_r * in_g) / sum(in_g), 4) AS recall
+FROM rg""",
+    )
+
+    q(
         "kg_fuzzy_pairs",
         lambda spark, sf: fuzzy.fuzzy_self_pairs(
             _facts_ck(spark, sf).select("subj_norm")
@@ -939,6 +1018,21 @@ JOIN pdtypes pd ON r.pred_canon = pd.pred_canon""",
         + "SELECT label, "
         + duck_clear_string("label")
         + " AS cleared FROM (SELECT DISTINCT subj_surface AS label FROM facts)",
+    )
+
+    q(
+        "kg_fastjoin_norm",
+        # P3 FastJoin normalization (StringNormalizer.clearString4FastJoin:
+        # 60-72): clearString → strip non-Basic-Latin → truncate to 127
+        lambda spark, sf: extract.extract_facts(load_transcripts(spark, sf))
+        .select(F.col("subj_surface").alias("label"))
+        .distinct()
+        .select("label", fastjoin_norm(F.col("label")).alias("fj_norm")),
+        facts_prelude(tpath)
+        + "SELECT label, substring(regexp_replace("
+        + duck_clear_string("label")
+        + r", '[^\x00-\x7F]', '', 'g'), 1, 127) AS fj_norm"
+        + " FROM (SELECT DISTINCT subj_surface AS label FROM facts)",
     )
 
     stem_map = _stem_map_path(tpath)
@@ -1456,7 +1550,9 @@ LEFT JOIN mmap m USING (pred_raw)""",
             F.countDistinct("num").alias("n_distinct"),
         )
         .filter(F.col("n_distinct") >= 2)
-        .withColumn("num_sim", S.numeric_similarity(F.col("v_min"), F.col("v_max"))),
+        .withColumn("num_sim", S.numeric_similarity(F.col("v_min"), F.col("v_max")))
+        # F6 deviation = 1 − similarity (ScoreEvaluator deviation mode)
+        .withColumn("dev", S.deviation(F.col("num_sim"))),
         cells_prelude(tpath)
         + f""",
 nums AS (
@@ -1468,10 +1564,13 @@ agg2 AS (
   SELECT subj_norm, pred_raw, min(num) AS v_min, max(num) AS v_max,
          count(DISTINCT num) AS n_distinct
   FROM nums GROUP BY 1, 2
+),
+simmed AS (
+  SELECT subj_norm, pred_raw, v_min, v_max, n_distinct,
+         {S.duck_numeric_similarity('v_min', 'v_max')} AS num_sim
+  FROM agg2 WHERE n_distinct >= 2
 )
-SELECT subj_norm, pred_raw, v_min, v_max, n_distinct,
-       {S.duck_numeric_similarity('v_min', 'v_max')} AS num_sim
-FROM agg2 WHERE n_distinct >= 2""",
+SELECT *, round(1 - num_sim, 4) AS dev FROM simmed""",
     )
 
 
