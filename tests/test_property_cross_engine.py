@@ -100,6 +100,24 @@ def test_clear_string_cross_engine(values):
     _compare(values, clear_string, duck_clear_string("v"))
 
 
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_value_or_null, min_size=1, max_size=25))
+def test_fastjoin_norm_cross_engine(values):
+    """P3 twin parity (kg_fastjoin_norm oracle expression): clearString →
+    strip non-Basic-Latin → truncate to 127 chars."""
+    from mannheimsearchjoinsengine_spark.functions.normalize import (
+        duck_clear_string,
+        fastjoin_norm,
+    )
+
+    duck = (
+        "substring(regexp_replace("
+        + duck_clear_string("v")
+        + r", '[^\x00-\x7F]', '', 'g'), 1, 127)"
+    )
+    _compare(values, fastjoin_norm, duck)
+
+
 def test_clear_string_golden():
     """Lucene WordDelimiterFilter parity goldens
     (StringNormalizer.java:83-141): camelCase + acronym splits, possessive
