@@ -1124,10 +1124,13 @@ FROM scored""",
         "kg_infogather_tsp",
         # J9 Q1+Q2: DMA seeds over the mention keys -> beta -> 4-iteration
         # personalized PageRank on the df-capped conversation graph,
-        # restricted to relevant conversations (QueryProcessor.java:94-285)
+        # restricted to relevant conversations (QueryProcessor.java:94-285).
+        # _facts_ck: the facts table feeds 3 consumers inside relevant_tsp
+        # (key sets, attribute filter, row counts) — materialize the extract
+        # once instead of re-running the regex scan per consumer.
         lambda spark, sf: infogather.relevant_tsp(
-            extract.extract_facts(load_transcripts(spark, sf)),
-            extract.extract_mentions(load_transcripts(spark, sf)),
+            _facts_ck(spark, sf),
+            _mentions(spark, sf),
             attribute="capital",
         ).select("conv_id", F.round("tsp", 6).alias("tsp")),
         facts_prelude(tpath)
@@ -1143,8 +1146,8 @@ SELECT t.conv_id, round(t.score, 6) AS tsp FROM it4 t JOIN ig_rel USING (conv_id
         # (QueryProcessor.java:295-317); ranked on the rounded score so the
         # winner never hinges on cross-engine float-summation order
         lambda spark, sf: infogather.augment_by_attribute(
-            extract.extract_facts(load_transcripts(spark, sf)),
-            extract.extract_mentions(load_transcripts(spark, sf)),
+            _facts_ck(spark, sf),
+            _mentions(spark, sf),
             attribute="capital",
         ),
         facts_prelude(tpath)
