@@ -322,7 +322,13 @@ def ensure_transcripts(sf_dir: str) -> str:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     table = generate_transcripts(turns_for_tag(sf_tag_of_dir(sf_dir)))
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
+    # leading "." hides the in-flight file from Spark's directory listing
+    # (the transcripts dir doubles as a file-source STREAM input; a visible
+    # half-written parquet polled mid-generation would surface as all-null
+    # rows)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path), prefix=".tmp", suffix=".parquet.tmp"
+    )
     os.close(fd)
     try:
         pq.write_table(table, tmp, row_group_size=ROW_GROUP_SIZE)

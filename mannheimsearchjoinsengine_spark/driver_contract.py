@@ -414,6 +414,13 @@ def _stem_map_path(tpath: str) -> str:
 
     out = os.path.join(os.path.dirname(tpath) + "_aux", "stem_map.parquet")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    # migrate dirs poisoned by the pre-_aux layout: a stale stem_map inside
+    # the STREAMED transcripts dir keeps crashing the file-source stream
+    # until removed, regardless of where new caches go
+    legacy = os.path.join(os.path.dirname(tpath), "stem_map.parquet")
+    for stale in (legacy, legacy + ".tmp"):
+        if os.path.exists(stale):
+            os.remove(stale)
     if os.path.exists(out):
         return out
     con = duckdb.connect()
@@ -446,6 +453,9 @@ def infogather_ctes(attribute: str, damping: float = 0.85, iters: int = 4) -> st
     iteration UNROLLED to ``iters`` generated itN CTEs (recursive CTEs
     can't aggregate in the recursive term; k is a fixed small constant).
     Ends having defined ``it{iters}`` and ``ig_rel``."""
+    # pred_raw is arbitrary extracted text — escape it the SQL-literal way
+    # (the Spark side's F.col == attribute needs no escaping)
+    attribute = attribute.replace("'", "''")
     d = damping
     sql = f""",
 ig_keys AS (SELECT DISTINCT conv_id, subj_norm FROM facts),

@@ -105,20 +105,30 @@ PSL_2LEVEL: tuple[str, ...] = tuple(sorted({
 }))
 
 
-def load_psl(path: str) -> PslRules:
+def load_psl(path: str, strict: bool = False) -> PslRules:
     """Parse a full ``public_suffix_list.dat`` into a :class:`PslRules`.
 
     * exact rules: kept with 2-4 labels (1-label rules are the trivial TLD
-      fallback; the current published list has no ≥5-label exact rules —
-      any that appeared would be dropped here, a loud cap rather than a
-      silent mis-scope);
+      fallback);
     * wildcard rules ``*.X``: the base ``X`` is kept (1-2 labels);
     * exception rules ``!E``: the suffix ``E`` is kept (2-3 labels).
 
+    KNOWN LIMIT: the evaluators' CASE chains inspect at most the last 4/5
+    labels, so exact rules with ≥5 labels (the published list's private
+    section has some, e.g. long ``amazonaws.com`` zones) and deeper
+    wildcard/exception forms CANNOT be honored — a host under such a rule
+    mis-scopes to the longest supported suffix. This loader REFUSES to
+    hide that: out-of-range rules are counted and reported via
+    ``warnings.warn`` (or raise with ``strict=True``) instead of being
+    silently dropped.
+
     Pass the result as ``suffixes=`` to the extractors."""
+    import warnings
+
     exact: set[str] = set()
     wildcard: set[str] = set()
     exception: set[str] = set()
+    dropped: list[str] = []
     with open(path, encoding="utf-8") as f:
         for raw in f:
             line = raw.strip().lower()
@@ -128,12 +138,28 @@ def load_psl(path: str) -> PslRules:
                 e = line[1:]
                 if 1 <= e.count(".") <= 2:
                     exception.add(e)
+                else:
+                    dropped.append(line)
             elif line.startswith("*."):
                 b = line[2:]
                 if b.count(".") <= 1 and "*" not in b:
                     wildcard.add(b)
-            elif "*" not in line and 1 <= line.count(".") <= 3:
-                exact.add(line)
+                else:
+                    dropped.append(line)
+            elif "*" not in line:
+                if 1 <= line.count(".") <= 3:
+                    exact.add(line)
+                elif line.count(".") > 3:
+                    dropped.append(line)
+    if dropped:
+        msg = (
+            f"load_psl: {len(dropped)} rule(s) exceed the evaluator's "
+            f"4-label depth and were dropped (hosts under them will "
+            f"mis-scope to a shorter suffix); first few: {dropped[:5]}"
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     return PslRules(
         exact=tuple(sorted(exact)),
         wildcard=tuple(sorted(wildcard)),

@@ -268,14 +268,20 @@ def near_dup_clusters(
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash signature: bit b is 1 when Σ_tokens (±1 by md5-bit b)
     > 0. Token bit b is bit (b mod 4) of the token's md5 hex digit b//4 —
-    md5's 32 hex digits supply up to 128 independent bits, so the
-    production width (bits=64) and the 16-bit demo width (kept for the
+    the production width (bits=64) and the 16-bit demo width (kept for the
     DuckDB driver oracle) share one scheme. md5-derived bits →
     engine-reproducible. Returns (doc, simhash); at bits=64 the top bit
-    lands in the long's sign bit (shiftleft wraps) — the signature is an
-    opaque identifier, so that's fine."""
-    if bits > 128:
-        raise ValueError("md5 supplies at most 128 signature bits")
+    lands in the long's sign bit — the signature is an opaque identifier,
+    so that's fine (the b=63 term is added LAST, so every partial sum of
+    the distinct powers of two stays in long range under ANSI mode).
+
+    Hard cap at 64: the signature packs into ONE long, and Spark's
+    ``shiftleft`` masks the shift amount to 6 bits (Java ``<<``), so a
+    b ≥ 64 vote would silently alias onto bit b−64 — corrupt signatures,
+    not an error. A wider SimHash needs an array-of-longs signature, which
+    nothing here requires."""
+    if bits > 64:
+        raise ValueError("signature packs into one long: bits must be <= 64")
     sets = _token_sets(docs, text_col, id_col, 1)
     h = F.md5(F.col("shingle"))
     bit_votes = [

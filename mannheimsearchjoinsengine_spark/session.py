@@ -53,9 +53,10 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cores * 2, 8)))
     )
+    master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -78,16 +79,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    if master.startswith("local"):
         # Executor-side Python needs the package importable when the master
         # is local-cluster[...] (separate worker JVMs spawn their own Python
         # workers; unlike local[n] they inherit neither sys.path nor the
-        # interpreter). No-op for plain local mode.
-        .config(
+        # interpreter). Driver-machine paths are only valid on THIS machine,
+        # so the pin is sandbox-only: on a real cluster (yarn/k8s/spark://)
+        # the deployment ships the package via --py-files and picks the
+        # worker interpreter via PYSPARK_PYTHON, which this must not
+        # override.
+        builder = builder.config(
             "spark.executorEnv.PYTHONPATH",
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        .config("spark.pyspark.python", sys.executable)
-    )
+        ).config("spark.pyspark.python", sys.executable)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -135,20 +135,34 @@ def stateful_conv_progress(stream: DataFrame) -> DataFrame:
     State is one (count, max_idx) pair per conv_id — bounded by the number
     of live conversations, not by turns; Arrow-batched like every other
     Python boundary in this repo (no per-row Python).
+
+    Rows without a conv_id or turn_idx are dropped JVM-side before the
+    stateful operator: a foreign-schema parquet landing in the streamed
+    directory surfaces as all-null rows, which would otherwise create a
+    null group whose NaN max poisons the integer state (the pandas-side
+    dropna below is defense-in-depth for the same failure inside a
+    partially-null chunk).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    stream = stream.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
+
     def update(key, pdfs, state):
         n, mx = state.get if state.exists else (0, -1)
         for pdf in pdfs:
-            # Arrow chunking can deliver an empty frame for a group (seen
-            # under high task counts); pd.max() on it is NaN, which must
-            # not poison the integer state
-            if not len(pdf):
+            # Two ways a chunk can poison the integer state with NaN:
+            # an EMPTY Arrow frame (seen under high task counts), and a
+            # non-empty frame whose turn_idx is all-null (a foreign-schema
+            # parquet surfacing through the file-source stream reads as
+            # all-null transcript rows). Count and max only the valid rows.
+            idx = pdf["turn_idx"].dropna()
+            if not len(idx):
                 continue
-            n += len(pdf)
-            mx = max(mx, int(pdf["turn_idx"].max()))
+            n += len(idx)
+            mx = max(mx, int(idx.max()))
         state.update((n, mx))
         yield pd.DataFrame(
             {"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx]}

@@ -7,7 +7,8 @@ would use, cross-checked against an independent pure-Python
 reimplementation of the md5 scheme:
 
 * SimHash 64-bit (nibble-bit scheme: token bit b = bit b%4 of md5 hex
-  digit b//4; md5's 128 bits cover any width ≤ 128).
+  digit b//4; capped at 64 — the signature packs into one long and
+  shiftleft masks the shift amount, so wider widths would alias).
 * MinHash 64 hashes in 16 bands of 4 (band threshold (1/16)^(1/4) ≈ 0.50
   — matched to the default tau=0.5; 8 bands of 8 would put the S-curve
   knee at (1/8)^(1/8) ≈ 0.77 and drop most tau-level pairs).
@@ -153,8 +154,12 @@ def test_simhash_demo_width_still_matches(spark, corpus):
 
 
 def test_simhash_width_cap(spark, corpus):
-    with pytest.raises(ValueError):
-        dedup.simhash(spark.createDataFrame(corpus, "doc_id: long, text: string"), bits=256)
+    # widths > 64 would alias onto low bits (shiftleft masks the shift
+    # amount to 6 bits for longs) — must refuse, not corrupt
+    df = spark.createDataFrame(corpus, "doc_id: long, text: string")
+    for bad in (65, 128, 256):
+        with pytest.raises(ValueError):
+            dedup.simhash(df, bits=bad)
 
 
 def test_minhash_production_width_matches_refimpl(spark, corpus):

@@ -328,8 +328,11 @@ def test_date_format_cascade_cross_engine(spark):
 def test_load_psl(tmp_path):
     """load_psl parses a publicsuffix.dat into the three PSL rule kinds:
     exact (2-4 labels), wildcard bases (``*.ck`` → ``ck``), exceptions
-    (``!www.ck`` → ``www.ck``); comments / 1-label TLDs / ≥5-label exact
-    rules are dropped."""
+    (``!www.ck`` → ``www.ck``); comments / 1-label TLDs are dropped, and
+    rules beyond the evaluator's 4-label depth are dropped LOUDLY (warning
+    by default, ValueError under strict=True) — never silently."""
+    import pytest as _pytest
+
     from mannheimsearchjoinsengine_spark.functions.domains import PslRules, load_psl
 
     dat = tmp_path / "psl.dat"
@@ -337,11 +340,19 @@ def test_load_psl(tmp_path):
         "// comment\n\ncom\nco.uk\n*.ck\n!www.ck\nsch.uk\n ac.uk \nuk\n"
         "act.edu.au\npvt.k12.ma.us\na.b.c.d.e\n*.kawasaki.jp\n!city.kawasaki.jp\n"
     )
-    assert load_psl(str(dat)) == PslRules(
+    with _pytest.warns(UserWarning, match=r"1 rule\(s\) exceed.*a\.b\.c\.d\.e"):
+        rules = load_psl(str(dat))
+    assert rules == PslRules(
         exact=("ac.uk", "act.edu.au", "co.uk", "pvt.k12.ma.us", "sch.uk"),
         wildcard=("ck", "kawasaki.jp"),
         exception=("city.kawasaki.jp", "www.ck"),
     )
+    with _pytest.raises(ValueError, match="4-label depth"):
+        load_psl(str(dat), strict=True)
+
+    clean = tmp_path / "clean.dat"
+    clean.write_text("com\nco.uk\n*.ck\n!www.ck\n")
+    load_psl(str(clean), strict=True)  # no out-of-range rules -> no error
 
 
 def test_psl_wildcard_exception_rules(spark):

@@ -131,3 +131,58 @@ def test_stateful_conv_progress_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stateful_survives_foreign_parquet_in_stream_dir(spark, sf_dir, tmp_path):
+    """A foreign-schema parquet in the streamed directory reads as all-null
+    transcript rows (file-source streams apply the declared schema to every
+    file). The stateful operator must neither crash on the NaN turn_idx max
+    nor emit a phantom null-conv_id group — invalid rows are filtered
+    JVM-side and the final state must equal the clean batch aggregate."""
+    import shutil
+
+    from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
+    from mannheimsearchjoinsengine_spark.streaming.extract_stream import (
+        stateful_conv_progress,
+        transcript_stream,
+    )
+
+    src = ensure_transcripts(sf_dir)
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "transcripts.parquet")
+    # the foreign file: valid parquet, entirely different schema
+    spark.createDataFrame([("x", 1.5)], "tok: string, weight: double").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "foreign"))
+    for f in (stream_dir / "foreign").glob("*.parquet"):
+        shutil.move(str(f), stream_dir / "foreign.parquet")
+    shutil.rmtree(stream_dir / "foreign")
+
+    q = (
+        stateful_conv_progress(
+            spark.readStream.schema(
+                transcript_stream(spark, sf_dir).schema
+            ).parquet(str(stream_dir))
+        )
+        .writeStream.format("memory")
+        .queryName("conv_progress_foreign")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_f"))
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM conv_progress_foreign")
+        .groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"), F.max("max_turn_idx").alias("max_turn_idx"))
+    )
+    want = (
+        load_transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"), F.max("turn_idx").alias("max_turn_idx"))
+    )
+    assert got.filter(F.col("conv_id").isNull()).count() == 0
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
