@@ -44,13 +44,19 @@ def main() -> None:
     queries, _ = build_contract(SF_DIR)
     timings: dict[str, float] = {}
 
+    # The sandbox host's transient noise (observed 2-8x for minutes at a
+    # stretch) dominates single-shot per-operator numbers and survived
+    # min-of-2 in round 3 (two apparent regressions refuted by min-of-4
+    # re-measurement); min-of-3 after one untimed warm-up is the cheapest
+    # protocol that has matched the careful re-measurements.
+    op_reps = int(os.environ.get("SPARK_GRAFT_OP_REPS", "3"))
+
     def timed(name: str, fn) -> None:
         # one untimed warm-up (codegen JIT + shuffle-file cache), then
-        # min-of-2 timed runs — the sandbox host's transient noise otherwise
-        # dominates single-shot per-operator numbers
+        # min-of-n timed runs
         fn()
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(op_reps):
             t0 = time.time()
             n = fn()
             dt = time.time() - t0

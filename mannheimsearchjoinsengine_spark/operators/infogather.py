@@ -157,23 +157,26 @@ def tsp_scores(
         "conv_id", F.coalesce("beta", F.lit(0.0)).alias("beta")
     ).localCheckpoint()
     score = base.select("conv_id", F.col("beta").alias("score"))
-    for _ in range(iterations):
+    for i in range(iterations):
         inflow = (
             edges.join(score.withColumnRenamed("conv_id", "src"), "src")
             .groupBy(F.col("dst").alias("conv_id"))
             .agg(F.sum(F.col("w") * F.col("score")).alias("acc"))
         )
-        score = (
-            base.join(inflow, "conv_id", "left")
-            .select(
-                "conv_id",
-                (
-                    (1.0 - damping) * F.col("beta")
-                    + damping * F.coalesce("acc", F.lit(0.0))
-                ).alias("score"),
-            )
-            .localCheckpoint()
+        score = base.join(inflow, "conv_id", "left").select(
+            "conv_id",
+            (
+                (1.0 - damping) * F.col("beta")
+                + damping * F.coalesce("acc", F.lit(0.0))
+            ).alias("score"),
         )
+        # Materialize every SECOND iteration (and the last): a 2-deep
+        # lineage (two edge-joins + aggs) plans fine, and each skipped
+        # materialization saves a whole job — the per-job overhead is the
+        # dominant cost of the iteration loop at the small-SF end, and at
+        # cluster scale fewer ledger writes of an all-nodes vector.
+        if i % 2 == 1 or i == iterations - 1:
+            score = score.localCheckpoint()
     return score.select("conv_id", F.col("score").alias("tsp"))
 
 
