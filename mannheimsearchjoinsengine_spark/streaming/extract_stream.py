@@ -27,25 +27,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import StructField, StructType, TimestampType
 
 from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
 from mannheimsearchjoinsengine_spark.operators.extract import extract_facts
+from mannheimsearchjoinsengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
-TRANSCRIPT_SCHEMA = StructType(
+# Streaming reads ts as TIMESTAMP (not the canonical TIMESTAMP_NTZ):
+# EventTimeWatermark rejects NTZ event-time columns, and the session TZ is
+# pinned UTC so the instant is identical; the parquet file source casts.
+STREAM_SCHEMA = StructType(
     [
-        StructField("conv_id", StringType()),
-        StructField("turn_idx", IntegerType()),
-        StructField("role", StringType()),
-        StructField("text", StringType()),
-        StructField("tool", StringType()),
-        StructField("ts", TimestampType()),
+        StructField(f.name, TimestampType() if f.name == "ts" else f.dataType)
+        for f in TRANSCRIPT_SCHEMA.fields
     ]
 )
 
@@ -56,7 +50,7 @@ def transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming file sources)."""
     path = ensure_transcripts(sf_dir)
     return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(os.path.dirname(path))
     )

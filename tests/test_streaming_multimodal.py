@@ -186,3 +186,50 @@ def test_stateful_survives_foreign_parquet_in_stream_dir(spark, sf_dir, tmp_path
     assert got.filter(F.col("conv_id").isNull()).count() == 0
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_read_transcript_table_formats(spark, sf_dir, tmp_path):
+    """S1-S5 reader dispatch: csv(.gz)/json transcript tables round-trip to
+    the parquet source exactly (explicit schema, no inference), format is
+    inferred from the extension, and missing required columns fail loudly."""
+    from mannheimsearchjoinsengine_spark.sources.transcripts import (
+        read_transcript_table,
+    )
+
+    want = load_transcripts(spark, sf_dir)
+
+    csv_dir = str(tmp_path / "t.csv")
+    want.coalesce(1).write.options(header=True, compression="gzip").csv(csv_dir)
+    got_csv = read_transcript_table(spark, csv_dir)
+    assert got_csv.schema == want.schema
+    assert got_csv.exceptAll(want).count() == 0
+    assert want.exceptAll(got_csv).count() == 0
+
+    json_dir = str(tmp_path / "t.jsonl")
+    want.coalesce(1).write.json(json_dir)
+    got_json = read_transcript_table(spark, json_dir)
+    assert got_json.exceptAll(want).count() == 0
+    assert want.exceptAll(got_json).count() == 0
+
+    with pytest.raises(ValueError, match="cannot infer"):
+        read_transcript_table(spark, str(tmp_path / "t.xlsx"))
+
+    bad_dir = str(tmp_path / "bad.csv")
+    want.select("conv_id", "text").coalesce(1).write.options(header=True).csv(bad_dir)
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_transcript_table(spark, bad_dir)
+
+    # csv columns bind by NAME: a reordered table still round-trips
+    perm_dir = str(tmp_path / "perm.csv")
+    want.select("ts", "text", "tool", "role", "turn_idx", "conv_id").coalesce(
+        1
+    ).write.options(header=True).csv(perm_dir)
+    got_perm = read_transcript_table(spark, perm_dir)
+    assert got_perm.schema == want.schema
+    assert got_perm.exceptAll(want).count() == 0
+
+    # parquet lacking required columns fails with the explicit ValueError
+    bad_pq = str(tmp_path / "bad.parquet")
+    want.select("conv_id", "text").write.parquet(bad_pq)
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_transcript_table(spark, bad_pq)
