@@ -29,6 +29,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--output", default=None, help="optional triple-table parquet dir")
     ap.add_argument("--fuzzy-canonical", action="store_true")
+    ap.add_argument(
+        "--input-path",
+        default=None,
+        help="read transcripts from this parquet/csv(.gz)/json path instead "
+        "of the sf-dir's synthesized parquet",
+    )
+    ap.add_argument(
+        "--input-format",
+        default=None,
+        choices=["parquet", "csv", "json"],
+        help="override the extension-inferred format of --input-path",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
         args.sf_dir,
         checkpoint_root=args.checkpoint_root,
         fuzzy_canonical=args.fuzzy_canonical,
+        input_path=args.input_path,
+        input_format=args.input_format,
     )
     triples = result["triples"]
     if args.output:

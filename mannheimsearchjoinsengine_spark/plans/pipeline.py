@@ -35,6 +35,8 @@ def run_pipeline(
     checkpoint_root: str | None = None,
     fuzzy_canonical: bool = False,
     broadcast_mode: str = "auto",
+    input_path: str | None = None,
+    input_format: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run all stages; returns every intermediate plus the triple table.
 
@@ -59,11 +61,25 @@ def run_pipeline(
     the J4/FastJoin parity surface but is NOT on the pipeline path. The
     synthetic corpus emits near-miss surfaces (token drops/extensions), so
     the fuzzy tier genuinely merges keys the exact tier cannot; the P/R
-    gate for this path runs against the refimpl's identical md5-MinHash."""
-    transcripts = load_transcripts(spark, sf_dir)
+    gate for this path runs against the refimpl's identical md5-MinHash.
+
+    ``input_path`` (with optional ``input_format``) reads the transcript
+    table from an arbitrary parquet/csv(.gz)/json location via
+    :func:`read_transcript_table` instead of the sf_dir's synthesized
+    parquet; the resume fingerprint then comes from the input files'
+    (size, mtime) signature rather than the parquet footer."""
     ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
-    # fingerprint from the parquet footer — no Spark job for a row count
-    fingerprint = f"{sf_dir}:{_input_rows(sf_dir)}" if ledger else ""
+    if input_path is not None:
+        from mannheimsearchjoinsengine_spark.sources.transcripts import (
+            read_transcript_table,
+        )
+
+        transcripts = read_transcript_table(spark, input_path, input_format)
+        fingerprint = f"{input_path}:{_path_signature(input_path)}" if ledger else ""
+    else:
+        transcripts = load_transcripts(spark, sf_dir)
+        # fingerprint from the parquet footer — no Spark job for a row count
+        fingerprint = f"{sf_dir}:{_input_rows(sf_dir)}" if ledger else ""
 
     def stage(name: str, build, partition_by=None) -> DataFrame:
         # label the stage's jobs in the Spark UI / REST metrics
@@ -171,6 +187,24 @@ def _input_rows(sf_dir: str) -> int:
     from mannheimsearchjoinsengine_spark.datagen import ensure_transcripts
 
     return pq.ParquetFile(ensure_transcripts(sf_dir)).metadata.num_rows
+
+
+def _path_signature(path: str) -> str:
+    """Driver-side input fingerprint for non-parquet inputs: total bytes +
+    newest mtime over the file(s) at ``path`` — cheap (no Spark job, no
+    data read) and changes whenever the input does. On an object store,
+    swap for the listing's etags."""
+    import os
+
+    files = []
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names if not n.startswith((".", "_"))]
+    elif os.path.exists(path):
+        files = [path]
+    total = sum(os.path.getsize(f) for f in files)
+    newest = max((os.path.getmtime(f) for f in files), default=0.0)
+    return f"{total}:{newest:.0f}"
 
 
 def default_checkpoint_root(sf_dir: str) -> str:

@@ -139,3 +139,21 @@ def test_torn_write_forces_clean_rebuild(spark, sf_dir, tmp_path_factory):
     assert spark.read.parquet(f"{root}/cells").count() == cells_rows
     assert rebuilt["postings"]["rows"] == spark.read.parquet(f"{root}/postings").count()
     assert not os.path.exists(victim) or os.path.getsize(victim) != 8
+
+
+def test_pipeline_from_csv_input_identical(spark, sf_dir, tmp_path):
+    """S1-S5 end-to-end: the pipeline over a csv.gz copy of the transcript
+    table (read via read_transcript_table, by-name binding) emits exactly
+    the triples of the parquet run."""
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_transcripts
+
+    csv_dir = str(tmp_path / "transcripts.csv")
+    load_transcripts(spark, sf_dir).coalesce(1).write.options(
+        header=True, compression="gzip"
+    ).csv(csv_dir)
+
+    want = run_pipeline(spark, sf_dir)["triples"]
+    got = run_pipeline(spark, sf_dir, input_path=csv_dir)["triples"]
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
