@@ -41,6 +41,24 @@ def main(argv: list[str] | None = None) -> int:
         choices=["parquet", "csv", "json"],
         help="override the extension-inferred format of --input-path",
     )
+    ap.add_argument(
+        "--input-table",
+        default=None,
+        help="read transcripts from this catalog table identifier "
+        "(e.g. kg.db.transcripts on an Iceberg catalog)",
+    )
+    ap.add_argument(
+        "--output-table",
+        default=None,
+        help="also materialize the triple table to this catalog table "
+        "identifier (writeTo createOrReplace, partitioned by subj_bucket)",
+    )
+    ap.add_argument(
+        "--output-table-format",
+        default="parquet",
+        help="table provider for --output-table (iceberg on a cluster "
+        "with the runtime jar; parquet against spark_catalog)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,10 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         fuzzy_canonical=args.fuzzy_canonical,
         input_path=args.input_path,
         input_format=args.input_format,
+        input_table=args.input_table,
     )
     triples = result["triples"]
     if args.output:
         triples.write.mode("overwrite").partitionBy("subj_bucket").parquet(args.output)
+    if args.output_table:
+        from mannheimsearchjoinsengine_spark.sources.catalog import write_table
+
+        write_table(triples, args.output_table, args.output_table_format)
     n = triples.count()
     print(
         json.dumps(

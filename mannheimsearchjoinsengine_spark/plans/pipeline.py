@@ -37,6 +37,7 @@ def run_pipeline(
     broadcast_mode: str = "auto",
     input_path: str | None = None,
     input_format: str | None = None,
+    input_table: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run all stages; returns every intermediate plus the triple table.
 
@@ -67,9 +68,26 @@ def run_pipeline(
     table from an arbitrary parquet/csv(.gz)/json location via
     :func:`read_transcript_table` instead of the sf_dir's synthesized
     parquet; the resume fingerprint then comes from the input files'
-    (size, mtime) signature rather than the parquet footer."""
+    (size, mtime) signature rather than the parquet footer.
+
+    ``input_table`` reads it from a CATALOG table identifier instead —
+    the Iceberg deployment shape (``spark.read.table("kg.db.transcripts")``
+    against a configured ``spark.sql.catalog.kg``); locally the same call
+    path is pinned against ``spark_catalog`` managed tables. Its resume
+    fingerprint is the identifier + a count — one job at ingest, and on
+    Iceberg a metadata-only one (for snapshot-exact resume semantics use
+    the snapshot id exposed by the catalog instead)."""
     ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
-    if input_path is not None:
+    if input_table is not None:
+        transcripts = spark.read.table(input_table)
+        missing = [c for c in ("conv_id", "turn_idx", "role", "text")
+                   if c not in transcripts.columns]
+        if missing:
+            raise ValueError(f"table {input_table!r} lacks columns {missing}")
+        fingerprint = (
+            f"{input_table}:{transcripts.count()}" if ledger else ""
+        )
+    elif input_path is not None:
         from mannheimsearchjoinsengine_spark.sources.transcripts import (
             read_transcript_table,
         )

@@ -8,11 +8,16 @@ content fingerprint, and reused on re-run when the fingerprint matches —
 which is exactly the north rule's "resumable from checkpoint" contract.
 
 Iceberg note: the north rule targets an Iceberg catalog; this sandbox has no
-Iceberg runtime jar (no network), so tables are hive-layout partitioned
-parquet + ledger manifest. The write/read call sites below are the only
-Iceberg touchpoints — on a real cluster, configure
-``spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog`` and flip
-``USE_ICEBERG``; partition specs carry over unchanged.
+Iceberg runtime jar (no network), so INTERNAL stage checkpoints are
+hive-layout partitioned parquet + ledger manifest (partition specs carry
+over unchanged). The pipeline EDGES already speak catalog-table identifiers
+— ``run_pipeline(input_table="kg.db.transcripts")`` reads via
+``spark.read.table`` and :func:`write_table` materializes the triple table
+via ``writeTo(...).createOrReplace`` — so on a cluster, configuring
+``spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog`` and passing
+``kg.``-qualified identifiers is the whole switch; both call paths are
+pinned locally against ``spark_catalog`` managed tables
+(``tests/test_pipeline_e2e.py::test_pipeline_catalog_table_io``).
 """
 
 from __future__ import annotations
@@ -22,8 +27,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-
-USE_ICEBERG = False  # flip on a cluster with the Iceberg runtime on the classpath
 
 
 def _footer_rows(out: str) -> list[tuple[int, str, int]]:
@@ -157,3 +160,29 @@ class StageLedger:
 
             df = df.withColumn("file", F.lit(None).cast("string"))
         return df
+
+
+def write_table(
+    df: DataFrame,
+    identifier: str,
+    fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = ("subj_bucket",),
+) -> None:
+    """Materialize ``df`` as catalog table ``identifier`` (DataFrameWriterV2
+    create-or-replace, partitioned) — the Iceberg output touchpoint
+    (``--output-table``). Iceberg and other V2 catalogs take the atomic
+    REPLACE TABLE AS SELECT; the V1 session catalog (the sandbox pin)
+    doesn't support RTAS, so it falls back to DROP + CREATE TABLE AS
+    SELECT — non-atomic, which is exactly why a production deployment
+    should point ``identifier`` at a real V2 catalog."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    writer = df.writeTo(identifier).using(fmt)
+    if partition_cols:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+    try:
+        writer.createOrReplace()
+    except AnalysisException:
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {identifier}")
+        writer.create()

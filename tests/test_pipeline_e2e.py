@@ -157,3 +157,39 @@ def test_pipeline_from_csv_input_identical(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_pipeline_catalog_table_io(spark, sf_dir, tmp_path):
+    """Iceberg-deployment call paths pinned against spark_catalog: read the
+    transcripts from a catalog TABLE identifier (spark.read.table) and
+    materialize the triples with writeTo(...).createOrReplace partitioned
+    by subj_bucket — the only two call sites that change when
+    spark.sql.catalog.* points at Iceberg."""
+    import pytest
+
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_transcripts
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS kgtest LOCATION '{tmp_path}/wh'")
+    try:
+        load_transcripts(spark, sf_dir).write.saveAsTable("kgtest.transcripts")
+
+        want = run_pipeline(spark, sf_dir)["triples"]
+        got = run_pipeline(spark, sf_dir, input_table="kgtest.transcripts")["triples"]
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        from mannheimsearchjoinsengine_spark.sources.catalog import write_table
+
+        write_table(got, "kgtest.triples", "parquet")
+        write_table(got, "kgtest.triples", "parquet")  # replace path is idempotent
+        back = spark.read.table("kgtest.triples")
+        assert back.exceptAll(want).count() == 0
+        assert want.exceptAll(back).count() == 0
+
+        with pytest.raises(ValueError, match="lacks columns"):
+            load_transcripts(spark, sf_dir).select("conv_id", "text").write.saveAsTable(
+                "kgtest.bad"
+            )
+            run_pipeline(spark, sf_dir, input_table="kgtest.bad")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS kgtest CASCADE")
