@@ -49,7 +49,7 @@ def main() -> None:
     # min-of-2 in round 3 (two apparent regressions refuted by min-of-4
     # re-measurement); min-of-3 after one untimed warm-up is the cheapest
     # protocol that has matched the careful re-measurements.
-    op_reps = int(os.environ.get("SPARK_GRAFT_OP_REPS", "3"))
+    op_reps = max(1, int(os.environ.get("SPARK_GRAFT_OP_REPS", "3")))
 
     def timed(name: str, fn) -> None:
         # one untimed warm-up (codegen JIT + shuffle-file cache), then

@@ -29,23 +29,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--output", default=None, help="optional triple-table parquet dir")
     ap.add_argument("--fuzzy-canonical", action="store_true")
-    ap.add_argument(
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument(
         "--input-path",
         default=None,
         help="read transcripts from this parquet/csv(.gz)/json path instead "
         "of the sf-dir's synthesized parquet",
+    )
+    src.add_argument(
+        "--input-table",
+        default=None,
+        help="read transcripts from this catalog table identifier "
+        "(e.g. kg.db.transcripts on an Iceberg catalog)",
     )
     ap.add_argument(
         "--input-format",
         default=None,
         choices=["parquet", "csv", "json"],
         help="override the extension-inferred format of --input-path",
-    )
-    ap.add_argument(
-        "--input-table",
-        default=None,
-        help="read transcripts from this catalog table identifier "
-        "(e.g. kg.db.transcripts on an Iceberg catalog)",
     )
     ap.add_argument(
         "--output-table",

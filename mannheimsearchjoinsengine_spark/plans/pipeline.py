@@ -78,15 +78,29 @@ def run_pipeline(
     Iceberg a metadata-only one (for snapshot-exact resume semantics use
     the snapshot id exposed by the catalog instead)."""
     ledger = StageLedger(spark, checkpoint_root) if checkpoint_root else None
+    if input_table is not None and input_path is not None:
+        raise ValueError("pass input_table OR input_path, not both")
     if input_table is not None:
+        from mannheimsearchjoinsengine_spark.sources.transcripts import (
+            REQUIRED_COLUMNS,
+        )
+
         transcripts = spark.read.table(input_table)
-        missing = [c for c in ("conv_id", "turn_idx", "role", "text")
-                   if c not in transcripts.columns]
+        missing = [c for c in REQUIRED_COLUMNS if c not in transcripts.columns]
         if missing:
             raise ValueError(f"table {input_table!r} lacks columns {missing}")
-        fingerprint = (
-            f"{input_table}:{transcripts.count()}" if ledger else ""
-        )
+        # identifier + schema + count: catches schema evolution and
+        # cardinality changes; a same-count in-place rewrite is NOT caught —
+        # that exactness needs the catalog's snapshot id (see docstring)
+        if ledger:
+            import hashlib
+
+            sch = hashlib.md5(
+                transcripts.schema.simpleString().encode()
+            ).hexdigest()[:12]
+            fingerprint = f"{input_table}:{sch}:{transcripts.count()}"
+        else:
+            fingerprint = ""
     elif input_path is not None:
         from mannheimsearchjoinsengine_spark.sources.transcripts import (
             read_transcript_table,
@@ -208,10 +222,13 @@ def _input_rows(sf_dir: str) -> int:
 
 
 def _path_signature(path: str) -> str:
-    """Driver-side input fingerprint for non-parquet inputs: total bytes +
-    newest mtime over the file(s) at ``path`` — cheap (no Spark job, no
-    data read) and changes whenever the input does. On an object store,
-    swap for the listing's etags."""
+    """Driver-side input fingerprint for non-parquet inputs: md5 over the
+    sorted per-file (relative path, size, mtime) listing — cheap (metadata
+    only, no data read) and sensitive to any file being added, removed,
+    renamed, resized or touched (a sum/max signature missed same-total
+    swaps with preserved timestamps). On an object store, swap for the
+    listing's etags."""
+    import hashlib
     import os
 
     files = []
@@ -220,9 +237,11 @@ def _path_signature(path: str) -> str:
             files += [os.path.join(root, n) for n in names if not n.startswith((".", "_"))]
     elif os.path.exists(path):
         files = [path]
-    total = sum(os.path.getsize(f) for f in files)
-    newest = max((os.path.getmtime(f) for f in files), default=0.0)
-    return f"{total}:{newest:.0f}"
+    listing = "\n".join(
+        f"{os.path.relpath(f, path)}:{os.path.getsize(f)}:{os.path.getmtime(f)}"
+        for f in sorted(files)
+    )
+    return hashlib.md5(listing.encode()).hexdigest()
 
 
 def default_checkpoint_root(sf_dir: str) -> str:

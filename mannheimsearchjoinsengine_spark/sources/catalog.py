@@ -174,7 +174,12 @@ def write_table(
     REPLACE TABLE AS SELECT; the V1 session catalog (the sandbox pin)
     doesn't support RTAS, so it falls back to DROP + CREATE TABLE AS
     SELECT — non-atomic, which is exactly why a production deployment
-    should point ``identifier`` at a real V2 catalog."""
+    should point ``identifier`` at a real V2 catalog.
+
+    The fallback fires ONLY on the specific does-not-support-RTAS error:
+    any other AnalysisException (bad schema, missing partition column,
+    permissions) re-raises untouched — a destructive DROP of the existing
+    table must never be the response to an unrelated failure."""
     from pyspark.sql import functions as F
     from pyspark.errors import AnalysisException
 
@@ -183,6 +188,9 @@ def write_table(
         writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
     try:
         writer.createOrReplace()
-    except AnalysisException:
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: ""))()
+        if (cond or "") != "UNSUPPORTED_FEATURE.TABLE_OPERATION":
+            raise
         df.sparkSession.sql(f"DROP TABLE IF EXISTS {identifier}")
         writer.create()

@@ -103,7 +103,12 @@ def read_transcript_table(
         # columns (inference off — no extra scan), validate, then cast to
         # the canonical types. An explicit schema on the csv reader would
         # bind positionally and silently scramble a reordered table.
-        raw = spark.read.csv(path, header=True)
+        # multiLine: transcript text routinely embeds newlines (RFC4180-
+        # quoted); without it each physical line parses as a row and
+        # PERMISSIVE mode turns the fragments into silent garbage. The
+        # cost is that csv files become non-splittable (one task per file)
+        # — shard the input, or better, use parquet for anything big.
+        raw = spark.read.csv(path, header=True, multiLine=True)
         missing = [c for c in REQUIRED_COLUMNS if c not in raw.columns]
         if missing:
             raise ValueError(
@@ -120,6 +125,25 @@ def read_transcript_table(
             ]
         )
     elif fmt == "json":
+        # JSON matches fields by NAME against the explicit schema, so a
+        # renamed field (conversation_id) would silently read as all-null
+        # conv_id. Peek ONE line (a tiny limit-1 job, no full scan) and
+        # require the required keys — the same loud failure the other
+        # formats give.
+        first = spark.read.text(path).head(1)
+        if first:
+            import json as _json
+
+            try:
+                keys = set(_json.loads(first[0].value))
+            except (ValueError, TypeError):
+                keys = None
+            if keys is not None:
+                missing = [c for c in REQUIRED_COLUMNS if c not in keys]
+                if missing:
+                    raise ValueError(
+                        f"transcript table at {path!r} lacks columns {missing}"
+                    )
         df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
     else:
         raise ValueError(f"unsupported transcript format {fmt!r}")

@@ -186,10 +186,15 @@ def test_pipeline_catalog_table_io(spark, sf_dir, tmp_path):
         assert back.exceptAll(want).count() == 0
         assert want.exceptAll(back).count() == 0
 
+        load_transcripts(spark, sf_dir).select("conv_id", "text").write.saveAsTable(
+            "kgtest.bad"
+        )
         with pytest.raises(ValueError, match="lacks columns"):
-            load_transcripts(spark, sf_dir).select("conv_id", "text").write.saveAsTable(
-                "kgtest.bad"
-            )
             run_pipeline(spark, sf_dir, input_table="kgtest.bad")
+
+        with pytest.raises(ValueError, match="not both"):
+            run_pipeline(
+                spark, sf_dir, input_table="kgtest.transcripts", input_path="/x.csv"
+            )
     finally:
         spark.sql("DROP DATABASE IF EXISTS kgtest CASCADE")

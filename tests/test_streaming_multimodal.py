@@ -205,6 +205,32 @@ def test_read_transcript_table_formats(spark, sf_dir, tmp_path):
     assert got_csv.exceptAll(want).count() == 0
     assert want.exceptAll(got_csv).count() == 0
 
+    # newline/comma/quote-bearing text must survive the csv round trip
+    # (multiLine=True; Spark's writer quotes them)
+    from pyspark.sql import Row
+
+    tricky = spark.createDataFrame(
+        [
+            Row(
+                conv_id="c_tricky",
+                turn_idx=0,
+                role="user",
+                text='line one\nline "two", with comma',
+                tool=None,
+                ts=None,
+            )
+        ],
+        want.schema,
+    )
+    tricky_dir = str(tmp_path / "tricky.csv")
+    want.unionByName(tricky).coalesce(1).write.options(header=True).csv(tricky_dir)
+    got_tricky = read_transcript_table(spark, tricky_dir)
+    assert (
+        got_tricky.filter(F.col("conv_id") == "c_tricky").first().text
+        == 'line one\nline "two", with comma'
+    )
+    assert got_tricky.count() == want.count() + 1
+
     json_dir = str(tmp_path / "t.jsonl")
     want.coalesce(1).write.json(json_dir)
     got_json = read_transcript_table(spark, json_dir)
@@ -213,6 +239,12 @@ def test_read_transcript_table_formats(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="cannot infer"):
         read_transcript_table(spark, str(tmp_path / "t.xlsx"))
+
+    # json field-name mismatch: the one-line peek makes it loud
+    badj = str(tmp_path / "badfield.jsonl")
+    want.withColumnRenamed("conv_id", "conversation_id").coalesce(1).write.json(badj)
+    with pytest.raises(ValueError, match="lacks columns"):
+        read_transcript_table(spark, badj)
 
     bad_dir = str(tmp_path / "bad.csv")
     want.select("conv_id", "text").coalesce(1).write.options(header=True).csv(bad_dir)
