@@ -174,31 +174,17 @@ def minhash_signatures(labels: DataFrame, col: str = "subj_norm", n_hashes: int 
     """MinHash signatures over label token sets using md5-derived hashes —
     deterministic and reproducible in any engine (same md5 → same minhash).
     Returns (label, sig_0..sig_{n-1}) as 16-hex-char strings (lexicographic
-    min == numeric min for fixed-width lowercase hex).
-
-    NARROW: per-row ``array_min(transform(...))`` over the token array —
-    no explode, no groupBy shuffle (same rewrite as dedup's document
-    signatures; labels with no tokens drop out, exactly as the aggregated
-    shape left them without a row)."""
-    arr = labels.select(
-        F.col(col).alias("label"),
-        F.array_distinct(norm_tokens(F.col(col))).alias("toks"),
+    min == numeric min for fixed-width lowercase hex)."""
+    toks = labels.select(
+        F.col(col).alias("label"), F.explode(norm_tokens(F.col(col))).alias("token")
     )
-
-    def _sig(i: int):
-        # factory, not a default-arg lambda (a 2-param lambda would be
-        # dispatched as (element, index) by pyspark and shadow i)
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform(
-                "toks",
-                lambda t: F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 16),
-            )
-        ).alias(f"sig_{i}")
-
-    return arr.filter(F.size("toks") > 0).select(
-        "label", *[_sig(i) for i in range(n_hashes)]
-    )
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 16)).alias(
+            f"sig_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("label").agg(*aggs)
 
 
 def minhash_candidate_pairs(

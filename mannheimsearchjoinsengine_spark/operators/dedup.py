@@ -38,12 +38,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingle_arrays(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """(doc, sh) with ``sh`` the DISTINCT word n-gram shingle array — a
-    NARROW map (split/slice/array_distinct per row, no explode, no
-    shuffle). Per-doc set semantics that the exploded form got from a
-    corpus-wide ``distinct`` shuffle come from ``array_distinct`` inside
-    the row instead."""
+def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
+    """Distinct word n-gram shingles per doc (n=1 → token set)."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
     )
@@ -59,15 +55,9 @@ def _shingle_arrays(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> 
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
-
-
-def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """Distinct word n-gram shingles per doc (n=1 → token set), exploded —
-    narrow (the set semantics are per-row array_distinct, so no corpus-wide
-    distinct shuffle)."""
-    return _shingle_arrays(docs, text_col, id_col, n).select(
-        "doc", F.explode("sh").alias("shingle")
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .distinct()
     )
 
 
@@ -184,45 +174,21 @@ def minhash_lsh_pairs(
     output degenerates to O(n²) — measured 8.5M pairs / 288 s at sf0.1
     before this fix vs bounded output after.
 
-    Plan shape: signatures are NARROW — per-row ``array_min(transform(sh,
-    md5…))`` over the distinct-shingle array, so the whole sig table costs
-    ZERO shuffles (the earlier exploded-``distinct`` + ``groupBy(doc)``
-    shape shuffled the corpus twice before any blocking happened — the
-    dominant cost at any scale). The shingle-array table feeds several
-    consumers (signatures, sizes, verification) and is materialized once
-    (localCheckpoint; a checkpoint table on a real cluster) — recomputing
-    that subtree per consumer measured 98 s vs ~6 s at sf0.1. Banding is
-    an explode of a literal struct array — one pass over ``sig``, not one
-    union branch per band; the exact-jaccard verify explodes the arrays
-    narrowly and streams them through the candidate join (broadcast under
-    AQE when candidates are small) instead of shuffling the exploded corpus
-    up front."""
-    arr = _shingle_arrays(docs, text_col, id_col, shingle_n)
-    # The chain downstream of here is NARROW, so its parallelism is the
-    # SCAN's. A real corpus scans with thousands of splits and needs no
-    # help; a single small local file scans with 1-2 tasks and would run
-    # the md5 signature work serially — round-robin it across the cores
-    # first (one shuffle of the compact array table, local-scale only).
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    if arr.rdd.getNumPartitions() < cores:
-        arr = arr.repartition(cores)
-    arr = arr.localCheckpoint()
-    # docs with no shingles had no exploded rows (hence no signature) in the
-    # aggregated shape; keep them out of banding, where NULL sigs would
-    # concat_ws into one shared "" bucket and collide the lot
-    def _sig(j: int):
-        # factory, NOT a default-arg lambda: pyspark dispatches on lambda
-        # arity, so `lambda s, j=j:` would be taken as an (element, index)
-        # lambda and the index column would shadow j
-        prefix = f"{j}:"
-        return F.array_min(
-            F.transform(
-                "sh",
-                lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 16),
-            )
+    Plan shape: ``sets`` and ``sig`` are each consumed by several branches
+    (banding, both sides of the candidate self-join, verification) —
+    materialize them once (localCheckpoint; a checkpoint table on a real
+    cluster) instead of letting Spark recompute the explode+agg subtree per
+    branch: that recomputation was 98 s at sf0.1, ~6 s after. Banding is an
+    explode of a literal struct array — one pass over ``sig``, not one
+    union branch per band."""
+    sets = _token_sets(docs, text_col, id_col, shingle_n).localCheckpoint()
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
         ).alias(f"sig_{j}")
-
-    sig = arr.filter(F.size("sh") > 0).select("doc", *[_sig(j) for j in range(n_hashes)])
+        for j in range(n_hashes)
+    ]
+    sig = sets.groupBy("doc").agg(*aggs)
     band_arr = F.array(
         *[
             F.struct(
@@ -247,10 +213,8 @@ def minhash_lsh_pairs(
         .select("doc1", "doc2")
         .distinct()
     )
-    # verify: exact jaccard over shingle sets, only for candidates; sizes
-    # come free from the array (narrow), and only candidate docs explode
-    sizes = arr.select("doc", F.size("sh").alias("n_sh"))
-    sets = arr.select("doc", F.explode("sh").alias("shingle"))
+    # verify: exact jaccard over token sets, only for candidates
+    sizes = sets.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sets.select(F.col("doc").alias("doc1"), "shingle")
     b2 = sets.select(F.col("doc").alias("doc2"), "shingle")
     shared = (
