@@ -446,13 +446,16 @@ def _stem_map_path(tpath: str) -> str:
     return out
 
 
-def infogather_ctes(attribute: str, damping: float = 0.85, iters: int = 4) -> str:
+def infogather_ctes(
+    attribute: str, damping: float = 0.85, iters: int = 4, df_abs_cap: int = 1000
+) -> str:
     """CTE chain appended after facts_prelude (uses its ``facts`` +
     ``mentions``): the DuckDB twin of operators/infogather — df-capped
-    table graph, DMA seeds, β, and the personalized-PageRank power
-    iteration UNROLLED to ``iters`` generated itN CTEs (recursive CTEs
-    can't aggregate in the recursive term; k is a fixed small constant).
-    Ends having defined ``it{iters}`` and ``ig_rel``."""
+    table graph (fractional AND absolute hub caps, mirroring
+    ``infogather.hub_keys``), DMA seeds, β, and the personalized-PageRank
+    power iteration UNROLLED to ``iters`` generated itN CTEs (recursive
+    CTEs can't aggregate in the recursive term; k is a fixed small
+    constant). Ends having defined ``it{iters}`` and ``ig_rel``."""
     # pred_raw is arbitrary extracted text — escape it the SQL-literal way
     # (the Spark side's F.col == attribute needs no escaping)
     attribute = attribute.replace("'", "''")
@@ -463,7 +466,7 @@ ig_nconv AS (SELECT count(DISTINCT conv_id) AS n FROM ig_keys),
 ig_hot AS (
   SELECT subj_norm FROM (
     SELECT subj_norm, count(DISTINCT conv_id) AS df FROM ig_keys GROUP BY 1), ig_nconv
-  WHERE df > floor(0.5 * n) + 1
+  WHERE df > floor(0.5 * n) + 1 OR df > {int(df_abs_cap)}
 ),
 ig_k AS (SELECT * FROM ig_keys WHERE subj_norm NOT IN (SELECT subj_norm FROM ig_hot)),
 ig_shared AS (

@@ -36,12 +36,18 @@ up 1 regardless of how many keys matched. That makes DMA degenerate to
 matched keys) instead of replicating a bug in a subsystem the reference
 cannot run (missing PPR blob).
 
-Scale shape: the conversation self-join on ``subj_norm`` is df-capped
-exactly like index tokens (hot subjects appear in > df_cap of all
-conversations; bounded ≤ 1/df_cap rows, broadcast left_anti) so no hub
-key quadratics; the power iteration materializes each score vector
-(localCheckpoint; stage ledger on a cluster) so the plan stays k shallow
-joins instead of an exponentially nested tree.
+Scale shape: the conversation self-join on ``subj_norm`` materializes
+df² pair rows PER KEPT SUBJECT, so the graph build is bounded two ways:
+a fractional df-cap (subjects in > ``df_cap`` of all conversations, the
+topical-stopword tier) AND an absolute per-key cap ``df_abs_cap`` — a
+Zipf-head entity in 1% of 10⁸ conversations passes the fractional cap yet
+would alone emit 10¹² self-join edges; capping df ≤ K bounds every key's
+contribution to K² and the whole edge list to K·|key rows| (linear in the
+corpus for fixed K). Dropped hubs are first-class metrics rows
+(:func:`hub_keys` — materialize/log it next to the graph at scale). The
+power iteration materializes each score vector (localCheckpoint; stage
+ledger on a cluster) so the plan stays k shallow joins instead of an
+exponentially nested tree.
 """
 
 from __future__ import annotations
@@ -51,6 +57,13 @@ from pyspark.sql import functions as F
 
 DAMPING = 0.85
 ITERATIONS = 4
+# absolute per-subject document-frequency cap for the graph build: a kept
+# subject contributes df² pair rows, so K bounds the per-key blowup to K²
+# and the total edge list to K·Σdf. 1000 keeps every plausibly-topical
+# entity (co-occurrence signal saturates well below 1000 tables in the
+# InfoGather paper's graphs) while capping a hub's quadratic at 10⁶ rows —
+# one shuffle partition's worth, not a job killer.
+DF_ABS_CAP = 1000
 
 
 def conv_key_sets(facts: DataFrame) -> DataFrame:
@@ -59,32 +72,64 @@ def conv_key_sets(facts: DataFrame) -> DataFrame:
     return facts.select("conv_id", "subj_norm").distinct()
 
 
+def hub_keys(
+    keys: DataFrame, df_cap: float | None = 0.5, df_abs_cap: int | None = DF_ABS_CAP
+) -> DataFrame:
+    """(subj_norm, df) of the subjects the graph build DROPS — the loud
+    metrics surface for the hub caps: a deployment materializes this next
+    to the graph (one extra agg over the already-shuffled df table) so a
+    dropped Zipf-head entity is visible, not silent.
+
+    Two caps, either disabled with ``None``:
+    * fractional ``df_cap`` — subjects in more than that share of all
+      conversations carry no topical signal (stopword tier; bounded
+      ≤ ~1/df_cap keys by coverage-sum).
+    * absolute ``df_abs_cap`` — every KEPT subject emits df² self-join pair
+      rows, so the fractional cap alone is not a pair bound (a key in 1%
+      of 10⁸ conversations passes it and alone emits 10¹² edges); df ≤ K
+      bounds each key's blowup to K² and the edge list to K·|key rows|.
+    """
+    dfreq = keys.groupBy("subj_norm").agg(F.countDistinct("conv_id").alias("df"))
+    cond = F.lit(False)
+    if df_cap is not None:
+        n_convs = keys.agg(F.countDistinct("conv_id").alias("n_convs"))
+        dfreq = dfreq.crossJoin(F.broadcast(n_convs))
+        cond = cond | (F.col("df") > F.floor(F.lit(df_cap) * F.col("n_convs")) + 1)
+    if df_abs_cap is not None:
+        cond = cond | (F.col("df") > F.lit(int(df_abs_cap)))
+    return dfreq.filter(cond).select("subj_norm", "df")
+
+
 def conv_graph(
-    facts: DataFrame, df_cap: float = 0.5, keys: DataFrame | None = None
+    facts: DataFrame,
+    df_cap: float | None = 0.5,
+    keys: DataFrame | None = None,
+    df_abs_cap: int | None = DF_ABS_CAP,
 ) -> DataFrame:
     """Row-stochastic similarity edges (src, dst, w) between conversations
     sharing subject keys; weight = shared-distinct-key count / out-degree.
 
-    Subjects present in more than ``df_cap`` of all conversations are
-    dropped from the pairing (broadcast hot-side left_anti — the bounded
-    side, same pattern as ``index.build_postings``): a hub subject would
-    otherwise pair O(n²) conversations while carrying no topical signal.
+    Hub subjects (:func:`hub_keys` — fractional ``df_cap`` OR absolute
+    ``df_abs_cap``) are dropped from the pairing: a kept subject emits df²
+    pair rows in the self-join below, so the absolute cap is what bounds
+    the edge list at web scale (≤ K·|key rows| total, ≤ K² per key).
+
+    The anti-join against the hub list is deliberately NOT broadcast-hinted:
+    under the fractional cap alone the list is provably ≤ ~1/df_cap rows,
+    but with the absolute cap it is corpus-dependent (≤ |key rows|/K), so
+    the hint would be a web-scale OOM bet. The anti-join shuffles ``keys``
+    on ``subj_norm`` — the exact partitioning the self-join needs anyway
+    (exchange reuse) — and AQE still picks a broadcast anti-join at runtime
+    whenever the hub list measures small.
 
     ``keys``: pass a pre-materialized ``conv_key_sets(facts)`` when the
     caller consumes it elsewhere too (relevant_tsp does) — otherwise the
     extract subtree re-runs per consumer.
     """
     keys = conv_key_sets(facts) if keys is None else keys
-    if df_cap is not None:
-        n_convs = keys.agg(F.countDistinct("conv_id").alias("n_convs"))
-        hot = (
-            keys.groupBy("subj_norm")
-            .agg(F.countDistinct("conv_id").alias("df"))
-            .crossJoin(F.broadcast(n_convs))
-            .filter(F.col("df") > F.floor(F.lit(df_cap) * F.col("n_convs")) + 1)
-            .select("subj_norm")
-        )
-        keys = keys.join(F.broadcast(hot), "subj_norm", "left_anti")
+    if df_cap is not None or df_abs_cap is not None:
+        hot = hub_keys(keys, df_cap, df_abs_cap).select("subj_norm")
+        keys = keys.join(hot, "subj_norm", "left_anti")
     a = keys.select("subj_norm", F.col("conv_id").alias("src"))
     b = keys.select("subj_norm", F.col("conv_id").alias("dst"))
     shared = (
@@ -186,7 +231,8 @@ def relevant_tsp(
     attribute: str | None = None,
     damping: float = DAMPING,
     iterations: int = ITERATIONS,
-    df_cap: float = 0.5,
+    df_cap: float | None = 0.5,
+    df_abs_cap: int | None = DF_ABS_CAP,
 ) -> DataFrame:
     """Seed → graph → TSP, filtered to the RELEVANT conversations (≥ 1 key
     overlapping the query table, ``GetSeedTables:128-131``) — the only
@@ -200,7 +246,9 @@ def relevant_tsp(
     extract scans for row counts / attribute filtering, which the
     pipeline's ledger would serve from the cells stage)."""
     keys = conv_key_sets(facts).localCheckpoint()
-    edges = conv_graph(facts, df_cap=df_cap, keys=keys).localCheckpoint()
+    edges = conv_graph(
+        facts, df_cap=df_cap, keys=keys, df_abs_cap=df_abs_cap
+    ).localCheckpoint()
     beta = dma_seeds(facts, query_keys, attribute, keys=keys)
     tsp = tsp_scores(edges, beta, damping, iterations)
     relevant = (
@@ -217,7 +265,8 @@ def augment_by_attribute(
     attribute: str,
     damping: float = DAMPING,
     iterations: int = ITERATIONS,
-    df_cap: float = 0.5,
+    df_cap: float | None = 0.5,
+    df_abs_cap: int | None = DF_ABS_CAP,
 ) -> DataFrame:
     """Q3 augmentation-by-attribute: for each query key, candidate values
     of ``attribute`` from the relevant conversations are scored by the
@@ -227,7 +276,7 @@ def augment_by_attribute(
     from pyspark.sql import Window
 
     tsp = relevant_tsp(
-        facts, query_keys, attribute, damping, iterations, df_cap
+        facts, query_keys, attribute, damping, iterations, df_cap, df_abs_cap
     )
     cand = (
         facts.filter(F.col("pred_raw") == attribute)

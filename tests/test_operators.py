@@ -798,3 +798,46 @@ def test_infogather_tsp_matches_numpy_refimpl(spark):
     }
     assert aug["x"][0] == "v1" and aug["y"][0] == "v2"
     assert aug["x"][1] == round(float(s[idx["A"]]), 6)
+
+
+def test_infogather_hub_cap_bounds_pair_blowup(spark):
+    """The absolute per-key df cap bounds the graph build's pair blowup:
+    a planted hub subject that PASSES the fractional df-cap (df = 8 of 24
+    conversations, well under the 50% stopword tier) still may not emit
+    its df² = 56 self-join edges once df_abs_cap < df — and the dropped
+    hub is visible as a hub_keys metrics row, not silent."""
+    from mannheimsearchjoinsengine_spark.operators import infogather
+
+    rows = []
+    for i in range(24):
+        if i < 8:
+            rows.append((f"c{i:02d}", "hub", "p", "v"))
+        # sparse chain keys: k{j} shared by exactly convs (2j, 2j+1)
+        rows.append((f"c{i:02d}", f"k{i // 2:02d}", "p", "v"))
+    facts = spark.createDataFrame(
+        rows, "conv_id string, subj_norm string, pred_raw string, obj_raw string"
+    )
+    keys = infogather.conv_key_sets(facts)
+
+    # metrics surface: only the hub trips the absolute cap
+    dropped = {
+        (r.subj_norm, r.df)
+        for r in infogather.hub_keys(keys, df_cap=0.5, df_abs_cap=5).collect()
+    }
+    assert dropped == {("hub", 8)}
+    # ... and nothing trips either cap at the default K (fractional bound
+    # here is floor(0.5·24)+1 = 13 ≥ every df)
+    assert infogather.hub_keys(keys, df_cap=0.5, df_abs_cap=1000).isEmpty()
+
+    uncapped = infogather.conv_graph(facts, df_cap=0.5, df_abs_cap=None)
+    capped = infogather.conv_graph(facts, df_cap=0.5, df_abs_cap=5)
+    # 12 chain keys × 2 ordered edges = 24; the hub adds 8·7 = 56 ordered
+    # pairs among c00..c07, 8 of which coincide with chain edges
+    assert uncapped.count() == 24 + 56 - 8
+    assert capped.count() == 24
+    # capped edges are exactly the chain pairs — no hub quadratics
+    pairs = {(r.src, r.dst) for r in capped.collect()}
+    want = set()
+    for j in range(12):
+        want |= {(f"c{2 * j:02d}", f"c{2 * j + 1:02d}"), (f"c{2 * j + 1:02d}", f"c{2 * j:02d}")}
+    assert pairs == want
