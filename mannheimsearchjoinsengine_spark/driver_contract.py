@@ -135,9 +135,13 @@ ltok AS (
 lsizes AS (SELECT label, count(*) AS ntok FROM ltok GROUP BY 1),
 sig AS (SELECT label, {lsigs} FROM ltok GROUP BY label),
 bands AS ({lbands}),
+lhot AS (SELECT band, bucket FROM (SELECT band, bucket, count(*) AS n
+         FROM bands GROUP BY 1, 2) WHERE n > {canonical.LSH_MAX_BUCKET}),
+gbands AS (SELECT b.* FROM bands b LEFT JOIN lhot h
+           ON b.band = h.band AND b.bucket = h.bucket WHERE h.band IS NULL),
 lcand AS (
   SELECT DISTINCT a.label AS lk, b.label AS rk
-  FROM bands a JOIN bands b
+  FROM gbands a JOIN gbands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.label < b.label
 ),
 lshared AS (
@@ -1877,9 +1881,13 @@ WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
 sh AS (SELECT DISTINCT doc_id AS doc, unnest({shingle3}) AS shingle FROM d),
 sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc),
 bands AS ({bands}),
+bhot AS (SELECT band, bucket FROM (SELECT band, bucket, count(*) AS n
+         FROM bands GROUP BY 1, 2) WHERE n > {canonical.LSH_MAX_BUCKET}),
+gbands AS (SELECT b.* FROM bands b LEFT JOIN bhot h
+           ON b.band = h.band AND b.bucket = h.bucket WHERE h.band IS NULL),
 cand AS (
   SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+  FROM gbands a JOIN gbands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
@@ -1903,9 +1911,13 @@ WITH RECURSIVE d AS (SELECT doc_id, {toks} AS tk FROM documents),
 sh AS (SELECT DISTINCT doc_id AS doc, unnest({shingle3}) AS shingle FROM d),
 sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc),
 bands AS ({bands}),
+bhot AS (SELECT band, bucket FROM (SELECT band, bucket, count(*) AS n
+         FROM bands GROUP BY 1, 2) WHERE n > {canonical.LSH_MAX_BUCKET}),
+gbands AS (SELECT b.* FROM bands b LEFT JOIN bhot h
+           ON b.band = h.band AND b.bucket = h.bucket WHERE h.band IS NULL),
 cand AS (
   SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+  FROM gbands a JOIN gbands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (

@@ -187,11 +187,45 @@ def minhash_signatures(labels: DataFrame, col: str = "subj_norm", n_hashes: int 
     return toks.groupBy("label").agg(*aggs)
 
 
+# Band buckets LARGER than this are excluded from candidate pairing: a
+# bucket of k members emits k(k-1)/2 pairs regardless of how honest the
+# signatures are, so a degenerate bucket (boilerplate-heavy corpus, a
+# constant label shared by millions of rows) turns LSH back into the all-
+# pairs blowup it exists to avoid. 1000 caps any one bucket at ~500k pairs
+# (one shuffle partition's worth) while being far above every bucket size a
+# non-degenerate corpus produces at the 0.5-τ banding knee. Dropped buckets
+# are a loud metrics surface (lsh_hot_buckets), not a silent vanish — the
+# standard web-scale dedup tradeoff (recall on pathological boilerplate
+# clusters is bounded away in exchange for a bounded join).
+LSH_MAX_BUCKET = 1000
+
+
+def lsh_hot_buckets(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(band, bucket, n_members) of the band buckets the LSH pairing DROPS —
+    materialize/log this next to the pair output at scale so a degenerate
+    boilerplate cluster is visible. One agg over the already-built band
+    table; works for any member column (counts rows per bucket)."""
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > F.lit(int(max_bucket)))
+    )
+
+
 def minhash_candidate_pairs(
-    labels: DataFrame, col: str = "subj_norm", n_hashes: int = 8, band_size: int = 2
+    labels: DataFrame,
+    col: str = "subj_norm",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: labels sharing one band of the signature become candidate
-    pairs (left < right). Verify with exact jaccard downstream (fuzzy.py)."""
+    pairs (left < right). Verify with exact jaccard downstream (fuzzy.py).
+
+    Buckets larger than ``max_bucket`` are dropped (see LSH_MAX_BUCKET —
+    the k² pair guard; ``None`` disables). The anti-join is deliberately
+    un-hinted: the hot list is corpus-dependent, and the anti-join shuffles
+    on the same (band, bucket) key the self-join needs anyway."""
     sig = minhash_signatures(labels, col, n_hashes)
     bands = []
     for b in range(n_hashes // band_size):
@@ -206,6 +240,9 @@ def minhash_candidate_pairs(
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.union(b)
+    if max_bucket is not None:
+        hot = lsh_hot_buckets(allb, max_bucket).select("band", "bucket")
+        allb = allb.join(hot, ["band", "bucket"], "left_anti")
     l = allb.select("band", "bucket", F.col("label").alias("left_key"))
     r = allb.select("band", "bucket", F.col("label").alias("right_key"))
     return (

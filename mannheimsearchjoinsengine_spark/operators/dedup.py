@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mannheimsearchjoinsengine_spark.functions.text import fingerprint
+from mannheimsearchjoinsengine_spark.operators.canonical import (
+    LSH_MAX_BUCKET,
+    lsh_hot_buckets,
+)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -159,6 +163,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-jaccard verification.
 
@@ -180,7 +185,15 @@ def minhash_lsh_pairs(
     cluster) instead of letting Spark recompute the explode+agg subtree per
     branch: that recomputation was 98 s at sf0.1, ~6 s after. Banding is an
     explode of a literal struct array — one pass over ``sig``, not one
-    union branch per band."""
+    union branch per band.
+
+    Band buckets larger than ``max_bucket`` are excluded from pairing
+    (``None`` disables): honest signatures bound EXPECTED bucket sizes, but
+    a boilerplate-degenerate corpus (millions of near-identical documents)
+    makes one bucket hold them all and the self-join emits k² rows no
+    matter how the rest of the plan is shaped. Dropped buckets surface as
+    ``canonical.lsh_hot_buckets(bands)`` metrics rows — at scale, log that
+    next to the pair output. The DuckDB driver twin mirrors the cap."""
     sets = _token_sets(docs, text_col, id_col, shingle_n).localCheckpoint()
     aggs = [
         F.min(
@@ -205,6 +218,9 @@ def minhash_lsh_pairs(
         .select("doc", "bb.band", "bb.bucket")
         .localCheckpoint()
     )
+    if max_bucket is not None:
+        hot = lsh_hot_buckets(bands, max_bucket).select("band", "bucket")
+        bands = bands.join(hot, ["band", "bucket"], "left_anti")
     l = bands.select("band", "bucket", F.col("doc").alias("doc1"))
     r = bands.select("band", "bucket", F.col("doc").alias("doc2"))
     cand = (

@@ -144,20 +144,36 @@ def column_density(fused: DataFrame, threshold: float = COLUMN_DENSITY) -> DataF
     )
 
 
-def row_density(fused: DataFrame, threshold: float = ROW_DENSITY) -> DataFrame:
+def row_density(
+    fused: DataFrame,
+    threshold: float = ROW_DENSITY,
+    broadcast_kept: bool | None = None,
+) -> DataFrame:
     """P14 (row half) — per-subject predicate density over the kept
     predicates; subjects below ``threshold`` are dropped
-    (``TableDataCleaner.java:260-333``)."""
+    (``TableDataCleaner.java:260-333``).
+
+    ``broadcast_kept``: the kept-predicate list is analytically bounded —
+    per-pred coverages sum to the mean preds-per-subject p̄, so at most
+    p̄/COLUMN_DENSITY predicates can clear the column filter (~10 rows at
+    threshold 0.3) — but under open extraction the predicate space grows,
+    so the hint gets the same measured gate as every pipeline broadcast:
+    ``None`` (default) counts the kept list against the session threshold
+    (confirming the analytic bound at runtime, one tiny job); ``False``
+    skips the hint entirely (AQE still broadcasts at runtime if it
+    measures small); ``True`` forces the hint."""
     kept = column_density(fused).filter(F.col("kept")).select("pred_raw")
-    # broadcast-audit note: unlike index.py's old keep-list (O(vocabulary)),
-    # THIS keep set is bounded at any scale — per-pred coverages sum to the
-    # mean preds-per-subject p̄, so at most p̄/threshold predicates can have
-    # coverage ≥ threshold (~10 rows at threshold 0.3). Broadcast is safe.
+    if broadcast_kept is None:
+        from mannheimsearchjoinsengine_spark.plans.adaptive import fits_broadcast
+
+        kept = kept.localCheckpoint()
+        broadcast_kept = fits_broadcast(kept.sparkSession, kept.count())
+    kept_side = F.broadcast(kept) if broadcast_kept else kept
     # kept-predicate count as a broadcast scalar (same no-.count() pattern)
     n_kept = kept.agg(F.count("*").alias("n_kept"))
     dens = F.round(F.col("n_preds") / F.col("n_kept"), 4)
     return (
-        fused.join(F.broadcast(kept), "pred_raw")
+        fused.join(kept_side, "pred_raw")
         .groupBy("query_norm")
         .agg(F.countDistinct("pred_raw").alias("n_preds"))
         .crossJoin(F.broadcast(n_kept))

@@ -37,7 +37,7 @@ def probe(
     mentions: DataFrame,
     postings: DataFrame,
     top_k: int = 5,
-    salted: bool = False,
+    salted: bool | None = None,
     n_salts: int = 16,
 ) -> DataFrame:
     """J1/J3 — for each distinct query label, top-k candidate labels by
@@ -50,6 +50,14 @@ def probe(
     query side replicates onto them (functions/salting.py) — the hot
     token's join work spreads over n_salts reducers instead of one.
     Results are identical (equivalence-tested).
+
+    ``salted=None`` (the default) decides from a MEASURED count of the
+    exploded query side against the session broadcast threshold
+    (plans/adaptive.fits_broadcast) — the same gate the pipeline applies to
+    join_results from its stage ledger. An unconditional ``F.broadcast(q)``
+    hint would force a driver OOM once the mention-label set outgrows the
+    threshold; the measurement costs one localCheckpoint of a relation the
+    broadcast branch had to materialize anyway.
     """
     # n_query_tokens rides along the explode (size of the token array) —
     # no separate count-agg + re-join (two exchanges saved vs the naive
@@ -63,6 +71,11 @@ def probe(
             F.explode("toks").alias("token"),
         )
     )
+    if salted is None:
+        from mannheimsearchjoinsengine_spark.plans.adaptive import fits_broadcast
+
+        q = q.localCheckpoint()
+        salted = not fits_broadcast(q.sparkSession, q.count())
     cand = postings.select("token", F.col("subj_norm").alias("cand_norm")).distinct()
     if salted:
         from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
@@ -92,7 +105,7 @@ def join_results(
     mentions: DataFrame,
     facts: DataFrame,
     top_n: int = 100,
-    salted: bool = False,
+    salted: bool | None = None,
     n_salts: int = 16,
 ) -> DataFrame:
     """J5 — JoinResult aggregation per (query label, candidate conversation):
@@ -104,12 +117,20 @@ def join_results(
     labels per conversation. Exact-label equi-join on subj_norm (the
     reference's post-normalization equality; fuzzy variant in fuzzy.py).
     The left aggregate (distinct labels) is broadcast only while it fits —
-    call sites gate on a measured label count vs the session threshold
-    (``plans/adaptive.fits_broadcast``); ``salted=True`` is the web-scale
-    fallback: hot fact labels scatter over ``n_salts`` sub-keys, identical
-    output (pinned by ``tests/test_pipeline_salted.py``).
+    the pipeline gates on its stage-ledger row counts (free parquet-footer
+    metadata) and passes ``salted`` explicitly; every other call site gets
+    the default ``salted=None``, which gates on a measured count of the
+    left aggregate itself (``plans/adaptive.fits_broadcast``).
+    ``salted=True`` is the web-scale fallback: hot fact labels scatter over
+    ``n_salts`` sub-keys, identical output (pinned by
+    ``tests/test_pipeline_salted.py``).
     """
     left = mentions.groupBy("subj_norm").agg(F.count("*").alias("mult_l"))
+    if salted is None:
+        from mannheimsearchjoinsengine_spark.plans.adaptive import fits_broadcast
+
+        left = left.localCheckpoint()
+        salted = not fits_broadcast(left.sparkSession, left.count())
     right = facts.groupBy("subj_norm", "conv_id").agg(F.count("*").alias("mult_r"))
     if salted:
         from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join

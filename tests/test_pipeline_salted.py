@@ -128,3 +128,89 @@ def test_pipeline_auto_gate_uses_measured_rows(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert flipped == base
+
+
+# --- round-5 (VERDICT r04 #5): call-site gates on probe/join_results +
+# --- row_density's kept-list broadcast ---------------------------------------
+
+
+def test_probe_default_gate_flips_to_salted(spark, sf_dir):
+    """probe()'s default salted=None measures the exploded query side: with
+    the threshold floored the gate must pick the salted branch (salt key in
+    the optimized plan, zero forced broadcast hints) and the output must
+    equal the explicit-broadcast branch."""
+    t = load_transcripts(spark, sf_dir)
+    m, f = extract_mentions(t).localCheckpoint(), extract_facts(t).localCheckpoint()
+    p = build_postings(f).localCheckpoint()
+    base = _rows(probe.probe(m, p, salted=False))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        gated = probe.probe(m, p)
+        plan = gated._jdf.queryExecution().optimizedPlan().toString()
+        assert "salt" in plan, plan
+        assert plan.count("strategy=broadcast") == 0, plan
+        rows = _rows(gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows == base
+    # at test scale under the real threshold the gate picks broadcast
+    plan = probe.probe(m, p)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("strategy=broadcast") >= 1, plan
+
+
+def test_join_results_default_gate_flips_to_salted(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    m, f = extract_mentions(t).localCheckpoint(), extract_facts(t).localCheckpoint()
+    base = _rows(probe.join_results(m, f, salted=False))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        gated = probe.join_results(m, f)
+        plan = gated._jdf.queryExecution().optimizedPlan().toString()
+        assert "salt" in plan, plan
+        rows = _rows(gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows == base
+
+
+def test_row_density_gated_kept_broadcast(spark):
+    from mannheimsearchjoinsengine_spark.operators.fuse import row_density
+
+    fused = spark.createDataFrame(
+        [(f"s{i}", f"p{i % 3}", "v") for i in range(30)],
+        ["query_norm", "pred_raw", "obj_raw"],
+    )
+    hinted = row_density(fused, broadcast_kept=True)
+    unhinted = row_density(fused, broadcast_kept=False)
+    n_hint = hinted._jdf.queryExecution().optimizedPlan().toString().count(
+        "strategy=broadcast"
+    )
+    n_nohint = unhinted._jdf.queryExecution().optimizedPlan().toString().count(
+        "strategy=broadcast"
+    )
+    # exactly the kept-list hint disappears; the 1-row scalar broadcasts stay
+    assert n_hint == n_nohint + 1, (n_hint, n_nohint)
+    assert _rows(hinted) == _rows(unhinted)
+    # the measured default gate (None) resolves to the broadcast branch at
+    # this scale and floors to the unhinted branch under a 0-byte threshold.
+    # (the gate's localCheckpoint collapses column_density's subtree, so
+    # hint counts are compared between the two GATED plans, not vs above)
+    gated_normal = row_density(fused)
+    n_normal = gated_normal._jdf.queryExecution().optimizedPlan().toString().count(
+        "strategy=broadcast"
+    )
+    assert _rows(gated_normal) == _rows(hinted)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        floored = row_density(fused)
+        n_floored = floored._jdf.queryExecution().optimizedPlan().toString().count(
+            "strategy=broadcast"
+        )
+        # exactly the kept-list hint disappears under the floored threshold
+        assert n_floored == n_normal - 1, (n_floored, n_normal)
+        assert _rows(floored) == _rows(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
