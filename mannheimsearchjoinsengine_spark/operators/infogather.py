@@ -126,6 +126,8 @@ def conv_graph(
     caller consumes it elsewhere too (relevant_tsp does) — otherwise the
     extract subtree re-runs per consumer.
     """
+    from pyspark.sql import Window
+
     keys = conv_key_sets(facts) if keys is None else keys
     if df_cap is not None or df_abs_cap is not None:
         hot = hub_keys(keys, df_cap, df_abs_cap).select("subj_norm")
@@ -138,10 +140,12 @@ def conv_graph(
         .groupBy("src", "dst")
         .agg(F.count("*").alias("shared"))
     )
-    deg = shared.groupBy("src").agg(F.sum("shared").alias("out_w"))
-    return shared.join(deg, "src").select(
-        "src", "dst", (F.col("shared") / F.col("out_w")).alias("w")
-    )
+    # row-stochastic normalization as a window sum over src, not a separate
+    # degree agg + join-back: the join-back shuffled the full edge list a
+    # second time (and a broadcast of the degree table is a bet that breaks
+    # at 10⁸ nodes); the window is one exchange on src and scale-free.
+    out_w = F.sum("shared").over(Window.partitionBy("src"))
+    return shared.select("src", "dst", (F.col("shared") / out_w).alias("w"))
 
 
 def dma_seeds(
@@ -149,14 +153,19 @@ def dma_seeds(
     query_keys: DataFrame,
     attribute: str | None = None,
     keys: DataFrame | None = None,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Q1: (conv_id, beta) — DMA = |matched distinct query keys| /
     min(|query keys|, |conversation fact rows|), restricted to
     conversations carrying ``attribute`` when given, normalized to sum 1
-    (Eq. 6). ``query_keys``: one ``subj_norm`` per row."""
+    (Eq. 6). ``query_keys``: one ``subj_norm`` per row (pre-distinct it
+    when the caller reuses it). ``matched``: pass the pre-computed
+    ``keys ⋈ distinct(query_keys)`` when the caller also derives the
+    relevance set from it (relevant_tsp does) — the join then runs once."""
     qk = query_keys.select("subj_norm").distinct()
     keys = conv_key_sets(facts) if keys is None else keys
-    matched = keys.join(qk, "subj_norm")
+    if matched is None:
+        matched = keys.join(qk, "subj_norm")
     if attribute is not None:
         with_attr = (
             facts.filter(F.col("pred_raw") == attribute).select("conv_id").distinct()
@@ -190,7 +199,18 @@ def tsp_scores(
     """Q2: topic-sensitive PageRank personalized on β, by power iteration —
     returns (conv_id, tsp) for every node of the graph ∪ seed set. Each
     iteration materializes (localCheckpoint) so the lineage stays k
-    shallow edge-joins."""
+    shallow edge-joins.
+
+    Join shape per iteration: the score vector is one row per NODE while
+    the edge list is one row per EDGE (orders of magnitude larger), so when
+    the measured node count fits the session broadcast threshold the score
+    side is broadcast-hinted into the edge join — the edge list is then
+    never shuffled by the join at all; the only full-edge exchange left is
+    the map-side-combined groupBy(dst). Above the threshold the hint is
+    dropped and the join shuffles both sides (AQE re-plans at runtime) —
+    correct at any scale, identical values."""
+    from mannheimsearchjoinsengine_spark.plans.adaptive import fits_broadcast
+
     nodes = (
         edges.select(F.col("src").alias("conv_id"))
         .union(edges.select(F.col("dst").alias("conv_id")))
@@ -201,10 +221,12 @@ def tsp_scores(
     base = nodes.join(beta, "conv_id", "left").select(
         "conv_id", F.coalesce("beta", F.lit(0.0)).alias("beta")
     ).localCheckpoint()
+    bcast_score = fits_broadcast(base.sparkSession, nodes.count())
     score = base.select("conv_id", F.col("beta").alias("score"))
     for i in range(iterations):
+        s = score.withColumnRenamed("conv_id", "src")
         inflow = (
-            edges.join(score.withColumnRenamed("conv_id", "src"), "src")
+            edges.join(F.broadcast(s) if bcast_score else s, "src")
             .groupBy(F.col("dst").alias("conv_id"))
             .agg(F.sum(F.col("w") * F.col("score")).alias("acc"))
         )
@@ -244,18 +266,20 @@ def relevant_tsp(
     an all-lazy tree re-ran the extract + self-join subtree per iteration
     (measured 63 s → 13 s at sf0.1; the remainder is the unavoidable
     extract scans for row counts / attribute filtering, which the
-    pipeline's ledger would serve from the cells stage)."""
+    pipeline's ledger would serve from the cells stage). The distinct
+    query-key set is also checkpointed once (its extract subtree otherwise
+    re-runs for seeding AND relevance), and the relevance filter reuses the
+    seeding's ``keys ⋈ qk`` join instead of recomputing it — the relevant
+    set is exactly the conversations with ≥ 1 matched key."""
     keys = conv_key_sets(facts).localCheckpoint()
     edges = conv_graph(
         facts, df_cap=df_cap, keys=keys, df_abs_cap=df_abs_cap
     ).localCheckpoint()
-    beta = dma_seeds(facts, query_keys, attribute, keys=keys)
+    qk = query_keys.select("subj_norm").distinct().localCheckpoint()
+    matched = keys.join(qk, "subj_norm")
+    beta = dma_seeds(facts, qk, attribute, keys=keys, matched=matched)
     tsp = tsp_scores(edges, beta, damping, iterations)
-    relevant = (
-        keys.join(query_keys.select("subj_norm").distinct(), "subj_norm")
-        .select("conv_id")
-        .distinct()
-    )
+    relevant = matched.select("conv_id").distinct()
     return tsp.join(relevant, "conv_id", "left_semi")
 
 
@@ -275,12 +299,16 @@ def augment_by_attribute(
     fuser ordering). Returns (subj_norm, obj_raw, score)."""
     from pyspark.sql import Window
 
+    # distinct query keys once — consumed by seeding/relevance (inside
+    # relevant_tsp) and by the candidate filter below; un-checkpointed, the
+    # mention-extract subtree re-ran per consumer
+    qk = query_keys.select("subj_norm").distinct().localCheckpoint()
     tsp = relevant_tsp(
-        facts, query_keys, attribute, damping, iterations, df_cap, df_abs_cap
+        facts, qk, attribute, damping, iterations, df_cap, df_abs_cap
     )
     cand = (
         facts.filter(F.col("pred_raw") == attribute)
-        .join(query_keys.select("subj_norm").distinct(), "subj_norm")
+        .join(qk, "subj_norm")
         .select("conv_id", "subj_norm", "obj_raw")
         .distinct()
         .join(tsp, "conv_id")
