@@ -6,7 +6,15 @@ Cluster run (the north-rule deployment shape):
     cd /root/repo && zip -qr /tmp/sjspark.zip mannheimsearchjoinsengine_spark
     spark-submit --master <cluster> --py-files /tmp/sjspark.zip \
         jobs/run_pipeline.py --sf-dir <input> --checkpoint-root <ckpt> \
-        [--fuzzy-canonical] [--output <dir>]
+        [--fuzzy-canonical] [--output <dir>] \
+        [--wordnet-dir /path/to/WordNet/dict \
+         --wordnet-scores-output <dir>]
+
+With ``--wordnet-dir`` pointing at a WNDB ``dict/`` directory (a public
+WordNet export's ``index.noun`` + ``data.noun`` — ship it to the driver
+with ``--files`` or a mounted path), the job additionally runs the F7
+WordNet label-similarity tier over the extracted predicate vocabulary;
+the lexicon is parsed driver-side and broadcast into the pair scoring.
 
 The session builder only sets SQL confs (AQE, Arrow, splits); master and
 executor topology come from spark-submit. With --checkpoint-root every
@@ -60,7 +68,25 @@ def main(argv: list[str] | None = None) -> int:
         help="table provider for --output-table (iceberg on a cluster "
         "with the runtime jar; parquet against spark_catalog)",
     )
+    ap.add_argument(
+        "--wordnet-dir",
+        default=None,
+        help="WNDB dict/ directory (index.noun + data.noun, e.g. an "
+        "extracted public WordNet export): enables the F7 WordNet label-"
+        "similarity tier over the extracted predicate vocabulary; the "
+        "lexicon is built driver-side and broadcast (~500k rows at full "
+        "WordNet scale)",
+    )
+    ap.add_argument(
+        "--wordnet-scores-output",
+        default=None,
+        help="parquet dir for the (label1, label2, price, wn_score) "
+        "predicate-pair table (requires --wordnet-dir); without it the "
+        "pair count still lands in the summary JSON",
+    )
     args = ap.parse_args(argv)
+    if args.wordnet_scores_output and not args.wordnet_dir:
+        ap.error("--wordnet-scores-output requires --wordnet-dir")
 
     from pyspark.sql import SparkSession
 
@@ -88,17 +114,37 @@ def main(argv: list[str] | None = None) -> int:
         from mannheimsearchjoinsengine_spark.sources.catalog import write_table
 
         write_table(triples, args.output_table, args.output_table_format)
-    n = triples.count()
-    print(
-        json.dumps(
-            {
-                "triples": n,
-                "wall_s": round(time.time() - t0, 3),
-                "sf_dir": args.sf_dir,
-                "resumable": args.checkpoint_root is not None,
-            }
+    wn_pairs = None
+    if args.wordnet_dir:
+        from pyspark.sql import functions as F
+
+        from mannheimsearchjoinsengine_spark.operators.wordnet import (
+            wordnet_label_scores,
         )
-    )
+        from mannheimsearchjoinsengine_spark.operators.wordnet_build import (
+            build_lexicon_from_dict_dir,
+        )
+
+        lex = build_lexicon_from_dict_dir(spark, args.wordnet_dir)
+        preds = result["facts"].select(F.col("pred_raw").alias("label")).distinct()
+        pairs = preds.select(F.col("label").alias("label1")).join(
+            preds.select(F.col("label").alias("label2")),
+            F.col("label1") <= F.col("label2"),
+        )
+        scores = wordnet_label_scores(pairs, lex)
+        if args.wordnet_scores_output:
+            scores.write.mode("overwrite").parquet(args.wordnet_scores_output)
+        wn_pairs = scores.count()
+    n = triples.count()
+    summary = {
+        "triples": n,
+        "wall_s": round(time.time() - t0, 3),
+        "sf_dir": args.sf_dir,
+        "resumable": args.checkpoint_root is not None,
+    }
+    if wn_pairs is not None:
+        summary["wordnet_pairs"] = wn_pairs
+    print(json.dumps(summary))
     return 0
 
 
