@@ -351,7 +351,18 @@ def embedding_near_dup_pairs(
 
     ``brute_force=True`` keeps the exhaustive pair join — the pytest recall
     oracle, NOT a plan for scale. Dot products via zip_with/aggregate —
-    native, no Python."""
+    native, no Python.
+
+    Bucket-size note (why this path has NO minhash-style ``max_bucket``
+    drop-cap): hyperplane buckets are DENSE by construction — every vector
+    lands in one of 2^planes_per_table buckets per table, so expected
+    bucket size is N/2^p and "hot bucket" is the normal state, not a
+    degenerate corpus. Dropping hot buckets here would discard most of the
+    corpus; the scale knob is ``planes_per_table`` itself — size it so
+    N/2^p stays at the per-bucket pair budget (p ≈ log2(N/1000) keeps a
+    bucket's self-join under ~10⁶ rows), trading recall per table for more
+    ``n_tables``. The minhash drop-cap guards a different failure mode
+    (identical signatures from boilerplate text, a data pathology)."""
     from mannheimsearchjoinsengine_spark.operators.ann import lsh_bucket
 
     if brute_force:
