@@ -255,6 +255,7 @@ def near_dup_clusters(
     tau: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Consolidate near-dup pairs into clusters with one keeper per
     cluster: MinHash-LSH pairs → connected components → keeper = min doc
@@ -265,7 +266,9 @@ def near_dup_clusters(
     order; output is (doc_id, keeper_id, cluster_size)."""
     from mannheimsearchjoinsengine_spark.operators.canonical import connected_components
 
-    pairs = minhash_lsh_pairs(docs, tau=tau, text_col=text_col, id_col=id_col)
+    pairs = minhash_lsh_pairs(
+        docs, tau=tau, text_col=text_col, id_col=id_col, max_bucket=max_bucket
+    )
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
     edges = pairs.select(pad("doc1").alias("src"), pad("doc2").alias("dst"))
     comp = connected_components(edges).select(
