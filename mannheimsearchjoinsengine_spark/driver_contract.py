@@ -1189,6 +1189,26 @@ SELECT subj_norm, obj_raw, score FROM (
 ) WHERE rn = 1""",
     )
 
+    q(
+        "kg_hub_keys",
+        # the graph build's LOUD metrics surface (infogather.hub_keys):
+        # subjects the hub caps DROP, cross-engine-pinned. df_abs_cap=10
+        # (not the production 1000) so the row is non-vacuous at sf0.01 —
+        # the cap expression under test is the same either way.
+        lambda spark, sf: infogather.hub_keys(
+            infogather.conv_key_sets(_facts_ck(spark, sf)),
+            df_cap=0.5,
+            df_abs_cap=10,
+        ),
+        facts_prelude(tpath)
+        + """,
+hk AS (SELECT DISTINCT conv_id, subj_norm FROM facts),
+hk_n AS (SELECT count(DISTINCT conv_id) AS n FROM hk),
+hk_df AS (SELECT subj_norm, count(DISTINCT conv_id) AS df FROM hk GROUP BY 1)
+SELECT subj_norm, df FROM hk_df, hk_n
+WHERE df > floor(0.5 * n) + 1 OR df > 10""",
+    )
+
     _register_fusion_queries(q, tpath)
     _register_scoring_queries(q, tpath)
     _register_doc_queries(q)
@@ -1901,6 +1921,29 @@ SELECT doc1, doc2,
        round(shared / (s1.n_sh + s2.n_sh - shared), 4) AS jaccard
 FROM shared JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
 WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 4) >= 0.5""",
+    )
+
+    q(
+        "doc_lsh_hot_buckets",
+        # the LSH pairing's LOUD metrics surface (canonical.lsh_hot_buckets
+        # over dedup.minhash_bands): band buckets above the cap,
+        # cross-engine-pinned. max_bucket=2 (not the production 1000) so
+        # the row is non-vacuous at sf0.01 — same agg+filter either way.
+        lambda spark, sf: canonical.lsh_hot_buckets(
+            dedup.minhash_bands(
+                dedup._token_sets(
+                    load_table(spark, sf, "documents"), "text", "doc_id", 3
+                )
+            ),
+            max_bucket=2,
+        ),
+        f"""
+WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest({shingle3}) AS shingle FROM d),
+sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc),
+bands AS ({bands})
+SELECT band, bucket, count(*) AS n_members
+FROM bands GROUP BY 1, 2 HAVING count(*) > 2""",
     )
 
     q(

@@ -155,6 +155,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_bands(
+    sets: DataFrame, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(doc, band, bucket) LSH band table over a (doc, shingle) set table —
+    the unit minhash_lsh_pairs pairs on and the surface lsh_hot_buckets
+    meters. Signatures are md5-derived mins (engine-reproducible); banding
+    is one explode of a literal struct array (one pass over ``sig``, not a
+    union branch per band); the result is localCheckpoint-materialized
+    because both sides of the candidate self-join consume it."""
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
+        ).alias(f"sig_{j}")
+        for j in range(n_hashes)
+    ]
+    sig = sets.groupBy("doc").agg(*aggs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                ).alias("bucket"),
+            )
+            for b in range(n_hashes // band_size)
+        ]
+    )
+    return (
+        sig.select("doc", F.explode(band_arr).alias("bb"))
+        .select("doc", "bb.band", "bb.bucket")
+        .localCheckpoint()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 8,
@@ -195,29 +229,7 @@ def minhash_lsh_pairs(
     ``canonical.lsh_hot_buckets(bands)`` metrics rows — at scale, log that
     next to the pair output. The DuckDB driver twin mirrors the cap."""
     sets = _token_sets(docs, text_col, id_col, shingle_n).localCheckpoint()
-    aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
-        ).alias(f"sig_{j}")
-        for j in range(n_hashes)
-    ]
-    sig = sets.groupBy("doc").agg(*aggs)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-                ).alias("bucket"),
-            )
-            for b in range(n_hashes // band_size)
-        ]
-    )
-    bands = (
-        sig.select("doc", F.explode(band_arr).alias("bb"))
-        .select("doc", "bb.band", "bb.bucket")
-        .localCheckpoint()
-    )
+    bands = minhash_bands(sets, n_hashes, band_size)
     if max_bucket is not None:
         hot = lsh_hot_buckets(bands, max_bucket).select("band", "bucket")
         bands = bands.join(hot, ["band", "bucket"], "left_anti")

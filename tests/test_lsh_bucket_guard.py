@@ -46,25 +46,7 @@ def test_minhash_lsh_degenerate_bucket_bounded(spark):
 def test_minhash_lsh_hot_bucket_metrics_rows(spark):
     docs = _adversarial_docs(spark, n_dup=30)
     sets = dedup._token_sets(docs, "text", "doc_id", 3)
-    sig = sets.groupBy("doc").agg(
-        *[
-            F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
-            ).alias(f"sig_{j}")
-            for j in range(8)
-        ]
-    )
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc",
-            F.lit(b).alias("band"),
-            F.concat_ws("|", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")).alias(
-                "bucket"
-            ),
-        )
-        bands = part if bands is None else bands.union(part)
-    hot = lsh_hot_buckets(bands, max_bucket=10).collect()
+    hot = lsh_hot_buckets(dedup.minhash_bands(sets), max_bucket=10).collect()
     # all 4 bands hold the same 30-clone bucket -> 4 loud rows of size 30
     assert len(hot) == 4
     assert all(r.n_members == 30 for r in hot)
