@@ -265,3 +265,74 @@ def test_read_transcript_table_formats(spark, sf_dir, tmp_path):
     want.select("conv_id", "text").write.parquet(bad_pq)
     with pytest.raises(ValueError, match="lacks columns"):
         read_transcript_table(spark, bad_pq)
+
+
+def test_streaming_exact_dedup_matches_batch_fp_set(spark, sf_dir, tmp_path):
+    """Streaming first-arrival dedup: the surviving fingerprint SET equals
+    batch exact_dedup's groups, exactly one survivor per fingerprint, and
+    checkpoint replay does not duplicate."""
+    from mannheimsearchjoinsengine_spark.operators.dedup import exact_dedup
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_table
+    from mannheimsearchjoinsengine_spark.streaming.dedup_stream import (
+        run_streaming_dedup,
+    )
+
+    # stage the table into a landing DIRECTORY (file sources stream dirs)
+    import shutil
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", landing / "part-000.parquet")
+    docs_path = str(landing)
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    run_streaming_dedup(spark, docs_path, out, ckpt)
+    streamed = spark.read.parquet(out)
+    batch = exact_dedup(load_table(spark, sf_dir, "documents"))
+    s_fps = {r.fp for r in streamed.select("fp").collect()}
+    b_fps = {r.fp for r in batch.select("fp").collect()}
+    assert s_fps == b_fps
+    # exactly one survivor per fingerprint
+    assert streamed.count() == len(s_fps)
+    # survivors are real documents (id + text round-trip)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < streamed.count() <= n_docs
+    # replay with the same checkpoint: no duplicates
+    run_streaming_dedup(spark, docs_path, out, ckpt)
+    assert spark.read.parquet(out).count() == len(s_fps)
+
+
+def test_streaming_dedup_suppresses_later_arrivals(spark, sf_dir, tmp_path):
+    """The online guarantee: a duplicate landing in a LATER file — and in a
+    later availableNow run resumed from the same checkpoint — is suppressed
+    by the fingerprint state within the watermark horizon."""
+    from pyspark.sql import Row
+    from mannheimsearchjoinsengine_spark.streaming.dedup_stream import (
+        run_streaming_dedup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    first = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="delta epsilon zeta"),
+        ]
+    )
+    first.coalesce(1).write.mode("append").parquet(str(landing))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_streaming_dedup(spark, str(landing), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+    # a later file: one exact re-arrival (different id), one new doc
+    second = spark.createDataFrame(
+        [
+            Row(doc_id=3, text="alpha beta gamma"),
+            Row(doc_id=4, text="brand new document"),
+        ]
+    )
+    second.coalesce(1).write.mode("append").parquet(str(landing))
+    run_streaming_dedup(spark, str(landing), out, ckpt)
+    survivors = spark.read.parquet(out)
+    assert survivors.count() == 3  # re-arrival suppressed, new doc kept
+    ids = {r.doc_id for r in survivors.collect()}
+    assert 4 in ids and 3 not in ids
