@@ -2006,6 +2006,28 @@ SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM votes""",
     )
 
     q(
+        "doc_simhash_pairs",
+        # SimHash near-dup PAIRS (hamming <= 2 at the 16-bit demo width).
+        # The Spark side runs the pigeonhole-banded plan (Manku et al.
+        # 2007); the oracle is the EXHAUSTIVE definition (all pairs,
+        # popcount of xor <= k) — the strongest possible twin: it proves
+        # the banding has recall 1, not merely that two engines agree on
+        # the same blocking.
+        lambda spark, sf: dedup.simhash_pairs(
+            load_table(spark, sf, "documents"), hamming_max=2, bits=16
+        ),
+        f"""
+WITH d AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest(tk) AS shingle FROM d),
+votes AS (SELECT doc, {votes} FROM sh GROUP BY doc),
+sig AS (SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc AS doc1, b.doc AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+    )
+
+    q(
         "doc_langid",
         lambda spark, sf: _langid_query(load_table(spark, sf, "documents")),
         f"""

@@ -30,6 +30,7 @@ import hashlib
 import itertools
 
 import pytest
+from pyspark.sql import functions as F
 
 from mannheimsearchjoinsengine_spark.operators import dedup
 
@@ -184,3 +185,39 @@ def test_minhash_width_tradeoff(spark, corpus):
     # pin the documented numbers so the docstring stays honest
     assert (len(demo_cand), len(demo_ver)) == (10, 8)
     assert (len(prod_cand), len(prod_ver)) == (8, 8)
+
+
+def test_simhash_pairs_banded_equals_brute_force(spark, corpus):
+    """The pigeonhole banding (hamming_max+1 bands) has recall 1: the
+    banded distributed plan must equal the exhaustive O(n²) definition at
+    the 64-bit production width, for several k."""
+    df = spark.createDataFrame(corpus, "doc_id: long, text: string")
+    sigs = {i: _simhash_py(t, 64) for i, t in corpus}
+    mask = (1 << 64) - 1
+    for k in (1, 3, 8):
+        got = {
+            (r.doc1, r.doc2): r.hamming
+            for r in dedup.simhash_pairs(df, hamming_max=k, bits=64).collect()
+        }
+        want = {}
+        ids = sorted(sigs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = bin((sigs[ids[x]] ^ sigs[ids[y]]) & mask).count("1")
+                if h <= k:
+                    want[(ids[x], ids[y])] = h
+        assert got == want, f"k={k}"
+
+
+def test_simhash_pairs_degenerate_bucket_guard(spark):
+    """Identical documents share every band bucket; above the cap they are
+    dropped from pairing (same loud-metrics tradeoff as the MinHash path)."""
+    from pyspark.sql import Row  # noqa: PLC0415
+
+    docs = [Row(doc_id=i, text="same boilerplate text everywhere") for i in range(25)]
+    docs += [Row(doc_id=100 + j, text=f"distinct document {j} alpha{j} beta{j}") for j in range(4)]
+    df = spark.createDataFrame(docs)
+    raw = dedup.simhash_pairs(df, hamming_max=2, bits=64, max_bucket=None)
+    assert raw.filter(F.col("doc1") < 25).count() == 300  # C(25,2)
+    capped = dedup.simhash_pairs(df, hamming_max=2, bits=64, max_bucket=10)
+    assert capped.filter(F.col("doc1") < 25).count() == 0
