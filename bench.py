@@ -122,6 +122,7 @@ def main() -> None:
             "doc_minhash_lsh",
             "doc_ngram_jaccard_top",
             "doc_dup_clusters",
+            "doc_simhash_pairs",
             "emb_cosine_topk",
             "emb_near_dup",
             "tpch_pricing_summary",

@@ -416,9 +416,10 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 4,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = 4,
     dim: int = 64,
     brute_force: bool = False,
+    target_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ τ), LSH-bucketed by default.
 
@@ -449,7 +450,19 @@ def embedding_near_dup_pairs(
     N/2^p stays at the per-bucket pair budget (p ≈ log2(N/1000) keeps a
     bucket's self-join under ~10⁶ rows), trading recall per table for more
     ``n_tables``. The minhash drop-cap guards a different failure mode
-    (identical signatures from boilerplate text, a data pathology)."""
+    (identical signatures from boilerplate text, a data pathology).
+
+    ``planes_per_table=None`` sizes p from a MEASURED corpus count:
+    p = clamp(2, ceil(log2(N / target_bucket)), 24) — the executable form
+    of the rule above (one count job; the fixed default 4 is what the
+    cross-engine oracle pins)."""
+    if planes_per_table is None:
+        import math
+
+        n = emb.count()
+        planes_per_table = max(
+            2, min(24, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        )
     from mannheimsearchjoinsengine_spark.operators.ann import lsh_bucket
 
     if brute_force:

@@ -95,3 +95,32 @@ def test_guard_no_op_on_normal_corpus(spark):
     a = sorted(dedup.minhash_lsh_pairs(docs).select(cols).collect())
     b = sorted(dedup.minhash_lsh_pairs(docs, max_bucket=None).select(cols).collect())
     assert a == b
+
+
+def test_embedding_auto_planes_matches_explicit(spark, sf_dir):
+    """planes_per_table=None sizes p from the measured corpus count:
+    p = clamp(2, ceil(log2(N/target_bucket)), 24) — pinned by equality
+    with the explicit-p run at two targets."""
+    from mannheimsearchjoinsengine_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    n = emb.count()
+    import math
+
+    def rows(df):
+        return sorted((r.id1, r.id2, r.cosine) for r in df.collect())
+
+    # huge target -> clamped to the floor p=2
+    auto_floor = dedup.embedding_near_dup_pairs(
+        emb, tau=0.35, planes_per_table=None, target_bucket=10 * n
+    )
+    explicit2 = dedup.embedding_near_dup_pairs(emb, tau=0.35, planes_per_table=2)
+    assert rows(auto_floor) == rows(explicit2)
+    # a target that lands on a mid-range p
+    target = max(1, n // 16)
+    p = max(2, min(24, math.ceil(math.log2(max(n, 2) / target))))
+    auto_mid = dedup.embedding_near_dup_pairs(
+        emb, tau=0.35, planes_per_table=None, target_bucket=target
+    )
+    explicit_p = dedup.embedding_near_dup_pairs(emb, tau=0.35, planes_per_table=p)
+    assert rows(auto_mid) == rows(explicit_p)
