@@ -360,7 +360,13 @@ def simhash_pairs(
     native codegen, no Python. Degenerate buckets (boilerplate corpora
     collapse to one signature) get the same ``max_bucket`` drop-cap +
     ``lsh_hot_buckets`` metrics surface as the MinHash path — with the
-    same stated recall tradeoff on pathological clusters."""
+    same stated recall tradeoff on pathological clusters.
+
+    Width: run PRODUCTION corpora at the default 64 bits — a ``bits``-bit
+    space saturates by the birthday bound (at 16 bits any ≳300-doc corpus
+    collides constantly and the pair output grows ~quadratically in N,
+    763k pairs at 6k docs measured); the 16-bit form exists only to keep
+    the driver's exhaustive SQL twin tractable, mirroring doc_simhash."""
     if not 0 <= hamming_max < bits:
         raise ValueError(f"hamming_max must be in [0, {bits})")
     sig = simhash(docs, bits, text_col, id_col).localCheckpoint()
