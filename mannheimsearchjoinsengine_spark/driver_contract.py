@@ -1229,6 +1229,15 @@ WHERE df > floor(0.5 * n) + 1 OR df > 10""",
 
 CORRECTNESS_WINDOW = 50  # rows the external driver records per round
 
+# Queries whose IMPLEMENTATION changed since their last recorded driver check
+# and therefore must land in the current window even though the round-robin
+# would defer them as freshly checked. r05: the InfoGather graph build gained
+# an absolute per-key df cap (operators/infogather.py, VERDICT r04 #1) after
+# its r04 check — the directive's done-criterion is a green CORRECTNESS_r05
+# row with the cap active. Clear entries once the fresh check is committed
+# (the rotation ledger then handles them normally).
+FORCE_WINDOW: tuple[str, ...] = ("kg_infogather_tsp", "kg_infogather_augment")
+
 
 def last_driver_check(root: str | None = None) -> dict[str, int]:
     """query -> latest round with a green recorded driver row, read from the
@@ -1264,7 +1273,8 @@ def deferred_queries(all_names: tuple[str, ...]) -> tuple[str, ...]:
     rows the driver just checked and rotates back in."""
     last = last_driver_check()
     n_defer = max(0, len(all_names) - CORRECTNESS_WINDOW)
-    ranked = sorted(all_names, key=lambda n: (-last.get(n, -1), n))
+    eff = {n: (-1 if n in FORCE_WINDOW else last.get(n, -1)) for n in all_names}
+    ranked = sorted(all_names, key=lambda n: (-eff[n], n))
     return tuple(ranked[:n_defer])
 
 
