@@ -1231,12 +1231,18 @@ CORRECTNESS_WINDOW = 50  # rows the external driver records per round
 
 # Queries whose IMPLEMENTATION changed since their last recorded driver check
 # and therefore must land in the current window even though the round-robin
-# would defer them as freshly checked. r05: the InfoGather graph build gained
-# an absolute per-key df cap (operators/infogather.py, VERDICT r04 #1) after
-# its r04 check — the directive's done-criterion is a green CORRECTNESS_r05
-# row with the cap active. Clear entries once the fresh check is committed
-# (the rotation ledger then handles them normally).
-FORCE_WINDOW: tuple[str, ...] = ("kg_infogather_tsp", "kg_infogather_augment")
+# would defer them as freshly checked: name -> round the change landed in.
+# A pin deactivates itself once the committed ledger shows a green driver row
+# from that round or later (the rotation then handles the query normally), so
+# entries never go stale; they can be garbage-collected at leisure.
+# r05 pins: the InfoGather graph build gained an absolute per-key df cap
+# (operators/infogather.py, VERDICT r04 #1) after its r04 check — the
+# directive's done-criterion is a green CORRECTNESS_r05 row with the cap
+# active.
+FORCE_WINDOW: dict[str, int] = {
+    "kg_infogather_tsp": 5,
+    "kg_infogather_augment": 5,
+}
 
 
 def last_driver_check(root: str | None = None) -> dict[str, int]:
@@ -1273,8 +1279,14 @@ def deferred_queries(all_names: tuple[str, ...]) -> tuple[str, ...]:
     rows the driver just checked and rotates back in."""
     last = last_driver_check()
     n_defer = max(0, len(all_names) - CORRECTNESS_WINDOW)
-    eff = {n: (-1 if n in FORCE_WINDOW else last.get(n, -1)) for n in all_names}
-    ranked = sorted(all_names, key=lambda n: (-eff[n], n))
+
+    def _eff(n: str) -> int:
+        pinned_since = FORCE_WINDOW.get(n)
+        if pinned_since is not None and last.get(n, -1) < pinned_since:
+            return -1  # change not yet driver-checked: force into the window
+        return last.get(n, -1)
+
+    ranked = sorted(all_names, key=lambda n: (-_eff(n), n))
     return tuple(ranked[:n_defer])
 
 

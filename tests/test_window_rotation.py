@@ -12,7 +12,7 @@ from mannheimsearchjoinsengine_spark import driver_contract as dc
 
 def _with_ledger(monkeypatch, ledger, force=()):
     monkeypatch.setattr(dc, "last_driver_check", lambda root=None: dict(ledger))
-    monkeypatch.setattr(dc, "FORCE_WINDOW", tuple(force))
+    monkeypatch.setattr(dc, "FORCE_WINDOW", dict(force))
 
 
 def test_freshest_checked_rows_defer_first(monkeypatch):
@@ -34,11 +34,22 @@ def test_never_checked_rows_sort_into_window(monkeypatch):
 
 def test_force_window_pin_overrides_recency(monkeypatch):
     names = ("pinned", "plain_a", "plain_b")
-    # "pinned" was checked most recently — without the pin it would defer
+    # "pinned" changed in round 5 but was last checked in round 4 — without
+    # the pin its recency would defer it
     _with_ledger(monkeypatch, {"pinned": 4, "plain_a": 3, "plain_b": 2},
-                 force=("pinned",))
+                 force={"pinned": 5})
     monkeypatch.setattr(dc, "CORRECTNESS_WINDOW", 2)
     assert dc.deferred_queries(names) == ("plain_a",)
+
+
+def test_force_window_pin_self_clears_after_fresh_check(monkeypatch):
+    names = ("pinned", "plain_a", "plain_b")
+    # the driver has now recorded the pinned query in round 5 (>= pin round):
+    # the pin is inert and plain recency applies again
+    _with_ledger(monkeypatch, {"pinned": 5, "plain_a": 3, "plain_b": 2},
+                 force={"pinned": 5})
+    monkeypatch.setattr(dc, "CORRECTNESS_WINDOW", 2)
+    assert dc.deferred_queries(names) == ("pinned",)
 
 
 def test_rotation_is_self_correcting(monkeypatch):
