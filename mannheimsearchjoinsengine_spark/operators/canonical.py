@@ -241,6 +241,11 @@ def minhash_candidate_pairs(
     for b in bands[1:]:
         allb = allb.union(b)
     if max_bucket is not None:
+        # three consumers below (hot-bucket agg, both self-join sides) —
+        # materialize the signature/union subtree once instead of
+        # recomputing it per branch (ADVICE r05; same discipline as
+        # dedup.minhash_lsh_pairs' profile checkpoint)
+        allb = allb.localCheckpoint()
         hot = lsh_hot_buckets(allb, max_bucket).select("band", "bucket")
         allb = allb.join(hot, ["band", "bucket"], "left_anti")
     l = allb.select("band", "bucket", F.col("label").alias("left_key"))

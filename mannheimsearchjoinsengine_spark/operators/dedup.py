@@ -42,27 +42,59 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """Distinct word n-gram shingles per doc (n=1 → token set)."""
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingle array expression (n=1 → token array)."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
     )
     if n == 1:
-        sh = toks
-    else:
-        # shingles: join n consecutive tokens; sequence + slice, all native.
-        # Guard: sequence(1, 0) would DESCEND in Spark — short docs get [].
-        sh = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        return toks
+    # shingles: join n consecutive tokens; sequence + slice, all native.
+    # Guard: sequence(1, 0) would DESCEND in Spark — short docs get [].
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
+    """Distinct word n-gram shingles per doc (n=1 → token set)."""
     return (
-        docs.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        docs.select(
+            F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle")
+        )
         .distinct()
     )
+
+
+def _doc_profiles(
+    docs: DataFrame, text_col: str, id_col: str, n: int, sig_hashes: int = 0
+) -> DataFrame:
+    """One row per doc: the distinct shingle set as an ARRAY (`sh`,
+    element order unspecified — consumers must be order-free), its size
+    `n_sh`, and optionally the minhash signature mins `sig_0..`.
+
+    ONE groupBy(doc) exchange (collect_set partial-aggregates map-side)
+    replaces the old shape's distinct-exchange on (doc, shingle) PLUS a
+    per-consumer join/aggregate of the exploded set table — the verify
+    stage then intersects the two member arrays per candidate pair
+    (`size(array_intersect(...))` — exact: both arrays are distinct
+    element sets) instead of shuffling/broadcasting the full exploded
+    table twice. Same per-pair work, none of the set-table movement."""
+    raw = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+    aggs = [F.collect_set("shingle").alias("sh")]
+    aggs += [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
+        ).alias(f"sig_{j}")
+        for j in range(sig_hashes)
+    ]
+    return raw.groupBy("doc").agg(*aggs).withColumn("n_sh", F.size("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -88,7 +120,13 @@ def ngram_jaccard_pairs(
     (doc, hot-shingle) table, so scores stay EXACT jaccard over the full
     sets while the cap affects recall only (pairs sharing nothing but hot
     shingles are missed — by design, those are boilerplate).
-    ``df_cap=None`` restores the exhaustive join (tests/recall oracle)."""
+    ``df_cap=None`` restores the exhaustive join (tests/recall oracle).
+
+    (r06 A/B note: an array-intersect verify over per-doc shingle arrays —
+    the shape that pays off in minhash_lsh_pairs — was measured 0.74x HERE
+    and reverted: with no tau pre-filter every blocked candidate pair ships
+    two full shingle arrays to the verify join, while this shape gets the
+    shared counts for free from the blocking join's aggregate.)"""
     sets = _token_sets(docs, text_col, id_col, n).localCheckpoint()
     blocked, hot = sets, None
     if df_cap is not None:
@@ -213,13 +251,17 @@ def minhash_lsh_pairs(
     output degenerates to O(n²) — measured 8.5M pairs / 288 s at sf0.1
     before this fix vs bounded output after.
 
-    Plan shape: ``sets`` and ``sig`` are each consumed by several branches
-    (banding, both sides of the candidate self-join, verification) —
-    materialize them once (localCheckpoint; a checkpoint table on a real
-    cluster) instead of letting Spark recompute the explode+agg subtree per
-    branch: that recomputation was 98 s at sf0.1, ~6 s after. Banding is an
-    explode of a literal struct array — one pass over ``sig``, not one
-    union branch per band.
+    Plan shape (r06): ONE ``groupBy(doc)`` builds the per-doc profile —
+    shingle-set array + size + all signature mins (`_doc_profiles`) — and
+    is the only materialization (localCheckpoint; a checkpoint table on a
+    real cluster). Banding is an explode of a literal struct array over the
+    profile (one pass, not one union branch per band), and verification is
+    ``size(array_intersect)`` of the two member arrays per candidate pair:
+    exact jaccard (both arrays are distinct sets) with NO join/broadcast of
+    the exploded (doc, shingle) table — the r05 plan shipped that table
+    twice (once per pair side) plus twice more for the size aggregates.
+    (History: the r03 recomputation fix was 98 s → 6 s at sf0.1; this
+    round's array verify takes the same query 4.3 s → ~2.5 s.)
 
     Band buckets larger than ``max_bucket`` are excluded from pairing
     (``None`` disables): honest signatures bound EXPECTED bucket sizes, but
@@ -228,8 +270,23 @@ def minhash_lsh_pairs(
     matter how the rest of the plan is shaped. Dropped buckets surface as
     ``canonical.lsh_hot_buckets(bands)`` metrics rows — at scale, log that
     next to the pair output. The DuckDB driver twin mirrors the cap."""
-    sets = _token_sets(docs, text_col, id_col, shingle_n).localCheckpoint()
-    bands = minhash_bands(sets, n_hashes, band_size)
+    profiles = _doc_profiles(
+        docs, text_col, id_col, shingle_n, sig_hashes=n_hashes
+    ).localCheckpoint()
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                ).alias("bucket"),
+            )
+            for b in range(n_hashes // band_size)
+        ]
+    )
+    bands = profiles.select("doc", F.explode(band_arr).alias("bb")).select(
+        "doc", "bb.band", "bb.bucket"
+    )
     if max_bucket is not None:
         hot = lsh_hot_buckets(bands, max_bucket).select("band", "bucket")
         bands = bands.join(hot, ["band", "bucket"], "left_anti")
@@ -241,25 +298,24 @@ def minhash_lsh_pairs(
         .select("doc1", "doc2")
         .distinct()
     )
-    # verify: exact jaccard over token sets, only for candidates
-    sizes = sets.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sets.select(F.col("doc").alias("doc1"), "shingle")
-    b2 = sets.select(F.col("doc").alias("doc2"), "shingle")
-    shared = (
-        cand.join(a, "doc1")
-        .join(b2, ["doc2", "shingle"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("shared"))
+    # verify: exact jaccard via per-pair array intersection of the full sets
+    p1 = profiles.select(
+        F.col("doc").alias("doc1"), F.col("sh").alias("sh1"), F.col("n_sh").alias("n1")
     )
-    jac = (
-        shared.join(sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
-        .join(sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+    p2 = profiles.select(
+        F.col("doc").alias("doc2"), F.col("sh").alias("sh2"), F.col("n_sh").alias("n2")
+    )
+    shared = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(p1, "doc1")
+        .join(p2, "doc2")
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 4),
+            F.round(shared / (F.col("n1") + F.col("n2") - shared), 4),
         )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc1", "doc2", "jaccard")
     )
-    return jac.filter(F.col("jaccard") >= tau).select("doc1", "doc2", "jaccard")
 
 
 def near_dup_clusters(
@@ -476,6 +532,10 @@ def embedding_near_dup_pairs(
         b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
         pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
     else:
+        # one union branch per table, NOT an explode of a per-table struct
+        # array: the r06 A/B measured the single-scan explode at 0.70x —
+        # the n_tables parquet scans are cheap, and the union branches keep
+        # each table's 4-plane signature expression in its own codegen span
         tables = None
         for t in range(n_tables):
             bt = emb.select(

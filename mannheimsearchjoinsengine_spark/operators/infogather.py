@@ -89,7 +89,10 @@ def hub_keys(
       of 10⁸ conversations passes it and alone emits 10¹² edges); df ≤ K
       bounds each key's blowup to K² and the edge list to K·|key rows|.
     """
-    dfreq = keys.groupBy("subj_norm").agg(F.countDistinct("conv_id").alias("df"))
+    # keys is the conv_key_sets output — DISTINCT (conv_id, subj_norm) rows
+    # by contract — so count(*) IS countDistinct(conv_id) here, without the
+    # two-phase distinct-aggregate exchange countDistinct plans
+    dfreq = keys.groupBy("subj_norm").agg(F.count("*").alias("df"))
     cond = F.lit(False)
     if df_cap is not None:
         n_convs = keys.agg(F.countDistinct("conv_id").alias("n_convs"))
@@ -208,20 +211,30 @@ def tsp_scores(
     never shuffled by the join at all; the only full-edge exchange left is
     the map-side-combined groupBy(dst). Above the threshold the hint is
     dropped and the join shuffles both sides (AQE re-plans at runtime) —
-    correct at any scale, identical values."""
+    correct at any scale, identical values.
+
+    Materialization (r06): ``beta`` is checkpointed ONCE up front — it
+    feeds the node union AND the base join, and its seed subtree (overlap
+    aggregate, per-conversation row counts, two scalar normalizers) was
+    re-evaluated by every consumer in the r05 shape (the nodes checkpoint,
+    the base checkpoint, and the broadcast(total) subquery each ran it).
+    The node set itself is NOT separately checkpointed — ``base`` has the
+    same rows (the left join preserves nodes) and is materialized anyway,
+    so the broadcast gate counts ``base`` (a cached-blocks job, no
+    recompute — ADVICE r05)."""
     from mannheimsearchjoinsengine_spark.plans.adaptive import fits_broadcast
 
+    beta = beta.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("conv_id"))
         .union(edges.select(F.col("dst").alias("conv_id")))
         .union(beta.select("conv_id"))
         .distinct()
-        .localCheckpoint()
     )
     base = nodes.join(beta, "conv_id", "left").select(
         "conv_id", F.coalesce("beta", F.lit(0.0)).alias("beta")
     ).localCheckpoint()
-    bcast_score = fits_broadcast(base.sparkSession, nodes.count())
+    bcast_score = fits_broadcast(base.sparkSession, base.count())
     score = base.select("conv_id", F.col("beta").alias("score"))
     for i in range(iterations):
         s = score.withColumnRenamed("conv_id", "src")

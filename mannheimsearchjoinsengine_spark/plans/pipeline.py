@@ -140,63 +140,95 @@ def run_pipeline(
             return False
         return fits_broadcast(spark, stage_rows(name, df))
 
-    # facts and cells are the same rows (cells = facts + dtype column):
-    # materialize ONCE as cells, expose facts as a zero-cost projection —
-    # two separate stage materializations of 90% identical data were the
-    # single biggest fixed cost in the pipeline.
-    cells = stage("cells", lambda: typed_cells(extract_facts(transcripts)))
-    facts = cells.drop("dtype")
-    mentions = stage("mentions", lambda: extract_mentions(transcripts))
-    postings = stage("postings", lambda: build_postings(facts))
-    attributes = stage("attributes", lambda: build_attributes(cells))
-    # gate: distinct mention labels ≤ mention rows, so the measured mention
-    # count is a safe upper bound for join_results' broadcast side
-    jr = stage(
-        "join_results",
-        lambda: join_results(mentions, facts, salted=not small("mentions", mentions)),
-    )
-    merge_map = stage("pred_merge_map", lambda: pred_merge_map(cells))
-    # merge_map is one row per distinct raw predicate — schema-bounded in
-    # the reference's world, but open extraction can grow it, so it gets the
-    # same measured gate; the fallback salts pred_raw (hot predicates are
-    # guaranteed at any scale).
-    if small("pred_merge_map", merge_map):
-        cells_canon = cells.join(F.broadcast(merge_map), "pred_raw")
-    else:
-        from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
+    # Independent stages materialize CONCURRENTLY from a small driver
+    # thread pool (guide §2.6 overlap: Spark's FIFO scheduler backfills the
+    # tail of one stage's job with tasks from the next — the serial shape
+    # left most of the cluster idle during every stage's straggler tail and
+    # its write/read-back barrier). Dependencies are expressed as futures;
+    # job descriptions are thread-local, so each stage stays labelled.
+    # SPARK_GRAFT_STAGE_WORKERS=1 restores the serial shape (debugging);
+    # stage content, ledger layout, and resume semantics are unchanged —
+    # each stage still writes its own directory, and the ledger serializes
+    # its bookkeeping under a lock (sources/catalog.py).
+    from concurrent.futures import ThreadPoolExecutor
 
-        cells_canon = salted_equi_join(cells, merge_map, ["pred_raw"])
-    resolved = stage(
-        "resolved", lambda: resolve_dispatch(cells_canon, ("subj_norm", "pred_canon"))
-    )
-    if fuzzy_canonical:
-        from mannheimsearchjoinsengine_spark.operators.canonical import fuzzy_clusters
-        from mannheimsearchjoinsengine_spark.operators.fuzzy import lsh_verified_pairs
+    # 4 ≈ the pipeline DAG's max antichain (postings/attributes/merge_map/
+    # clusters after cells); measured at sf0.1: 9.0 s serial → 5.4 s
+    # (workers=3: 5.6 s). More workers than independent stages buys nothing.
+    workers = int(os.environ.get("SPARK_GRAFT_STAGE_WORKERS", "4"))
+    pool = ThreadPoolExecutor(max_workers=max(1, workers))
+    try:
+        # facts and cells are the same rows (cells = facts + dtype column):
+        # materialize ONCE as cells, expose facts as a zero-cost projection —
+        # two separate stage materializations of 90% identical data were the
+        # single biggest fixed cost in the pipeline.
+        cells_f = pool.submit(stage, "cells", lambda: typed_cells(extract_facts(transcripts)))
+        mentions_f = pool.submit(stage, "mentions", lambda: extract_mentions(transcripts))
+        cells = cells_f.result()
+        facts = cells.drop("dtype")
+        postings_f = pool.submit(stage, "postings", lambda: build_postings(facts))
+        attributes_f = pool.submit(stage, "attributes", lambda: build_attributes(cells))
+        merge_map_f = pool.submit(stage, "pred_merge_map", lambda: pred_merge_map(cells))
+        if fuzzy_canonical:
+            from mannheimsearchjoinsengine_spark.operators.canonical import fuzzy_clusters
+            from mannheimsearchjoinsengine_spark.operators.fuzzy import lsh_verified_pairs
 
-        clusters = stage(
-            "clusters",
-            lambda: fuzzy_clusters(
-                facts, lsh_verified_pairs(facts.select("subj_norm")).localCheckpoint()
-            ).select("subj_norm", "canonical_label"),
+            clusters_f = pool.submit(
+                stage,
+                "clusters",
+                lambda: fuzzy_clusters(
+                    facts, lsh_verified_pairs(facts.select("subj_norm")).localCheckpoint()
+                ).select("subj_norm", "canonical_label"),
+            )
+        else:
+            clusters_f = pool.submit(stage, "clusters", lambda: exact_clusters(facts))
+        mentions = mentions_f.result()
+        # gate: distinct mention labels ≤ mention rows, so the measured mention
+        # count is a safe upper bound for join_results' broadcast side
+        jr_f = pool.submit(
+            stage,
+            "join_results",
+            lambda: join_results(mentions, facts, salted=not small("mentions", mentions)),
         )
-    else:
-        clusters = stage("clusters", lambda: exact_clusters(facts))
-    dtypes = stage(
-        "pred_dtypes",
-        lambda: pred_profile(
-            cells_canon.withColumn("pred_raw", F.col("pred_canon"))
-        ).select(F.col("pred_raw").alias("pred_canon"), "dtype_major"),
-    )
-    triples = stage(
-        "triples",
-        lambda: to_triples(
-            resolved,
-            clusters,
-            dtypes,
-            broadcast_clusters=small("clusters", clusters),
-        ),
-        partition_by=["subj_bucket"],
-    )
+        merge_map = merge_map_f.result()
+        # merge_map is one row per distinct raw predicate — schema-bounded in
+        # the reference's world, but open extraction can grow it, so it gets the
+        # same measured gate; the fallback salts pred_raw (hot predicates are
+        # guaranteed at any scale).
+        if small("pred_merge_map", merge_map):
+            cells_canon = cells.join(F.broadcast(merge_map), "pred_raw")
+        else:
+            from mannheimsearchjoinsengine_spark.functions.salting import salted_equi_join
+
+            cells_canon = salted_equi_join(cells, merge_map, ["pred_raw"])
+        resolved_f = pool.submit(
+            stage, "resolved", lambda: resolve_dispatch(cells_canon, ("subj_norm", "pred_canon"))
+        )
+        dtypes_f = pool.submit(
+            stage,
+            "pred_dtypes",
+            lambda: pred_profile(
+                cells_canon.withColumn("pred_raw", F.col("pred_canon"))
+            ).select(F.col("pred_raw").alias("pred_canon"), "dtype_major"),
+        )
+        resolved = resolved_f.result()
+        clusters = clusters_f.result()
+        dtypes = dtypes_f.result()
+        triples = stage(
+            "triples",
+            lambda: to_triples(
+                resolved,
+                clusters,
+                dtypes,
+                broadcast_clusters=small("clusters", clusters),
+            ),
+            partition_by=["subj_bucket"],
+        )
+        postings = postings_f.result()
+        attributes = attributes_f.result()
+        jr = jr_f.result()
+    finally:
+        pool.shutdown(wait=True)
     return {
         "transcripts": transcripts,
         "facts": facts,

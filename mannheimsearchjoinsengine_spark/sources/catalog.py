@@ -76,11 +76,18 @@ class StageLedger:
     and short-circuits recomputation when the input fingerprint matches."""
 
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+
         self.spark = spark
         self.root = root
         self.path = os.path.join(root, "_ledger.json")
         os.makedirs(root, exist_ok=True)
         self.entries: dict[str, dict] = {}
+        # independent stages materialize from a small driver thread pool
+        # (plans/pipeline.py) — entry updates + ledger-file saves are the
+        # only shared mutable state and go through this lock; each stage
+        # writes its own directory, so the data paths never contend
+        self._lock = threading.Lock()
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.entries = json.load(f)
@@ -135,14 +142,15 @@ class StageLedger:
             os.path.join(self.root, f"_lineage/{stage}"), stage, part_rows
         )
         rows = sum(r for _, _, r in part_rows)
-        self.entries[stage] = {
-            "fingerprint": fingerprint,
-            "path": out,
-            "rows": rows,
-            "wall_s": round(time.time() - t0, 3),
-            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        self._save()
+        with self._lock:
+            self.entries[stage] = {
+                "fingerprint": fingerprint,
+                "path": out,
+                "rows": rows,
+                "wall_s": round(time.time() - t0, 3),
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self._save()
         return persisted
 
     def lineage(self) -> DataFrame | None:
