@@ -1235,13 +1235,24 @@ CORRECTNESS_WINDOW = 50  # rows the external driver records per round
 # A pin deactivates itself once the committed ledger shows a green driver row
 # from that round or later (the rotation then handles the query normally), so
 # entries never go stale; they can be garbage-collected at leisure.
-# r05 pins: the InfoGather graph build gained an absolute per-key df cap
-# (operators/infogather.py, VERDICT r04 #1) after its r04 check — the
-# directive's done-criterion is a green CORRECTNESS_r05 row with the cap
-# active.
+# r05 pins (self-cleared by the green r05 rows, kept for the ledger): the
+# InfoGather graph build gained an absolute per-key df cap
+# (operators/infogather.py, VERDICT r04 #1) after its r04 check.
+# r06 pins: optimization-round implementation changes — minhash verify via
+# per-doc array profiles (dedup.py), tsp_scores beta/base materialization +
+# hub_keys count(*) (infogather.py), band-table checkpoint (canonical.py),
+# threaded stage materialization (plans/pipeline.py → kg_triples). All are
+# value-identical by construction and equivalence-tested; the pin makes the
+# driver re-verify each under the new plan.
 FORCE_WINDOW: dict[str, int] = {
-    "kg_infogather_tsp": 5,
-    "kg_infogather_augment": 5,
+    "kg_infogather_tsp": 6,
+    "kg_infogather_augment": 6,
+    "kg_hub_keys": 6,
+    "doc_minhash_lsh": 6,
+    "doc_dup_clusters": 6,
+    "kg_fuzzy_pairs": 6,
+    "kg_fuzzy_clusters": 6,
+    "kg_triples": 6,
 }
 
 

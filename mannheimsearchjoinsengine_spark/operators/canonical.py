@@ -99,7 +99,46 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return spokes.union(hubs).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+# Edge lists at or under this measured size skip the distributed star
+# rounds and run union-find on the driver (same component = min-node
+# semantics, pinned equal by tests/test_cc_paths.py). Label graphs are
+# entity-scale, not occurrence-scale, so real corpora sit far below this at
+# every tested SF — each avoided star round is ~4 driver-scheduled jobs of
+# pure overhead. 100k edges collect to a few MB; the distributed loop is
+# untouched above the gate (the count that gates it is the convergence
+# loop's own count job, so the gate costs nothing).
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _cc_driver(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find with path halving; root relabelled to the component's min
+    node id. String comparisons: Python compares code points and Spark
+    compares UTF-8 bytes — identical order (UTF-8 preserves code-point
+    order), so the min matches the distributed star rounds' F.least."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the root the smallest id seen so far,
+            # so the final find() is the component min directly
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, driver_max_edges: int | None = None
+) -> DataFrame:
     """Connected components over an undirected edge list (columns ``src``,
     ``dst``; string node ids). Returns (node, component) with component =
     min node id of the component — the same semantics as the WITH RECURSIVE
@@ -114,6 +153,13 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     AQE handles stragglers. GraphFrames-free on purpose (no jar dependency —
     SURVEY.md §7 step 9).
 
+    Edge lists whose MEASURED size (the count the convergence loop takes
+    anyway) is ≤ ``driver_max_edges`` run union-find on the driver instead —
+    the r06 job-count optimization, same measured-gate discipline as the
+    greedy-marriage fast path (operators/match.py); identical output,
+    pinned by tests/test_cc_paths.py. Pass ``driver_max_edges=0`` to force
+    the distributed rounds.
+
     Raises ``RuntimeError`` on non-convergence instead of returning wrong
     clusters: max_iter=30 covers any feasible graph (rounds ~ log² n worst
     case; a 2^15-node pathological chain converges in <15 rounds).
@@ -127,6 +173,14 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = e.count()
+    if driver_max_edges is None:
+        driver_max_edges = CC_DRIVER_MAX_EDGES
+    all_string = all(f.dataType.simpleString() == "string" for f in e.schema.fields)
+    if 0 < n_edges <= driver_max_edges and all_string:
+        comp = _cc_driver([(r["src"], r["dst"]) for r in e.collect()])
+        return e.sparkSession.createDataFrame(
+            sorted(comp.items()), schema="node string, component string"
+        )
     converged = n_edges == 0
     for _ in range(max_iter):
         if converged:

@@ -50,7 +50,6 @@ def document_stream(
 def streaming_exact_dedup(
     doc_stream: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     watermark: str = "1 hour",
 ) -> DataFrame:
     """First-arrival exact dedup: one output row per normalized-text
@@ -77,14 +76,13 @@ def run_streaming_dedup(
     out_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> None:
     """Drain the current backlog through the dedup (trigger availableNow),
     appending survivors to ``out_dir``; resumable via ``checkpoint_dir``
-    like every sink in this package."""
-    deduped = streaming_exact_dedup(
-        document_stream(spark, docs_path), text_col, id_col
-    )
+    like every sink in this package. Dedup is purely by the text
+    fingerprint — there is deliberately no id parameter (the keeper is the
+    first-arrived row, whatever its id; ADVICE r05)."""
+    deduped = streaming_exact_dedup(document_stream(spark, docs_path), text_col)
     (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
