@@ -42,30 +42,42 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(text_col: str, n: int):
-    """Word n-gram shingle array expression (n=1 → token array)."""
-    toks = F.filter(
+def _tokens(text_col: str):
+    """Whitespace token array of the lowercased text (empties dropped)."""
+    return F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
     )
+
+
+def _shingles_of(tk, n: int):
+    """Word n-gram shingle array over an ALREADY-PROJECTED token-array
+    column (n=1 → the column itself).
+
+    ``tk`` must be a plain column reference, never the tokenizer
+    expression: a lambda body re-evaluates every captured expression PER
+    ELEMENT, so ``slice(<split chain>, i, n)`` inside the transform
+    re-tokenized the whole document once per shingle position — measured
+    3.2 s → 0.5 s at sf0.1 for the shingle explode alone after projecting
+    the token array first (guide §4.1: HOF lambdas are interpreted, keep
+    their bodies cheap)."""
     if n == 1:
-        return toks
+        return tk
     # shingles: join n consecutive tokens; sequence + slice, all native.
     # Guard: sequence(1, 0) would DESCEND in Spark — short docs get [].
     return F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
 def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     """Distinct word n-gram shingles per doc (n=1 → token set)."""
+    toked = docs.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("tk"))
     return (
-        docs.select(
-            F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle")
-        )
+        toked.select("doc", F.explode(_shingles_of(F.col("tk"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -84,9 +96,8 @@ def _doc_profiles(
     (`size(array_intersect(...))` — exact: both arrays are distinct
     element sets) instead of shuffling/broadcasting the full exploded
     table twice. Same per-pair work, none of the set-table movement."""
-    raw = docs.select(
-        F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle")
-    )
+    toked = docs.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("tk"))
+    raw = toked.select("doc", F.explode(_shingles_of(F.col("tk"), n)).alias("shingle"))
     aggs = [F.collect_set("shingle").alias("sh")]
     aggs += [
         F.min(
@@ -369,8 +380,14 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     nothing here requires."""
     if bits > 64:
         raise ValueError("signature packs into one long: bits must be <= 64")
-    sets = _token_sets(docs, text_col, id_col, 1)
-    h = F.md5(F.col("shingle"))
+    # project the digest ONCE per token row — referenced from `bits`
+    # aggregate expressions below, an inline md5 would be re-hashed per bit
+    # (64x at production width) unless codegen's subexpression elimination
+    # happens to fire; a projected column makes it structural
+    sets = _token_sets(docs, text_col, id_col, 1).select(
+        "doc", F.md5(F.col("shingle")).alias("h")
+    )
+    h = F.col("h")
     bit_votes = [
         F.sum(
             F.when(
