@@ -137,16 +137,24 @@ def conv_graph(
         keys = keys.join(hot, "subj_norm", "left_anti")
     a = keys.select("subj_norm", F.col("conv_id").alias("src"))
     b = keys.select("subj_norm", F.col("conv_id").alias("dst"))
+    # ONE exchange for both the pair aggregation and the normalization
+    # window (r06): hash-partitioning on src alone satisfies the (src, dst)
+    # grouping clustering, so the explicit repartition("src") replaces the
+    # planner's exchange-on-(src,dst) AND the window's exchange-on-(src)
+    # with a single shuffle — measured 2.37 → 1.21 s for the edge build at
+    # sf0.1, values identical (integer counts). Skew exposure is unchanged:
+    # the window already partitioned by src, and per-src pair rows are
+    # bounded by keys-per-conversation × df_abs_cap either way. (A degree
+    # agg + join-back re-shuffled the full edge list a second time — 0.85×,
+    # OPTIMIZATION_r06.md; a broadcast of the degree table is a bet that
+    # breaks at 10⁸ nodes.)
     shared = (
         a.join(b, "subj_norm")
         .filter(F.col("src") != F.col("dst"))
+        .repartition("src")
         .groupBy("src", "dst")
         .agg(F.count("*").alias("shared"))
     )
-    # row-stochastic normalization as a window sum over src, not a separate
-    # degree agg + join-back: the join-back shuffled the full edge list a
-    # second time (and a broadcast of the degree table is a bet that breaks
-    # at 10⁸ nodes); the window is one exchange on src and scale-free.
     out_w = F.sum("shared").over(Window.partitionBy("src"))
     return shared.select("src", "dst", (F.col("shared") / out_w).alias("w"))
 
